@@ -1,0 +1,251 @@
+"""Batched streaming denoiser core — the TPU re-design of
+``rnnoise_process_frame`` (reference src/denoise.c:457-504).
+
+Design stance (SURVEY.md §7): the unit of work is a **batch of streams**, not a
+frame of one stream.  The per-stream ``DenoiseState`` (denoise.c:68-88) becomes
+the batched pytree :class:`DenoiseState` with a leading ``[S]`` axis;
+``process_frame`` advances all S streams by one 10 ms frame inside a single
+jitted graph, and ``process_frames`` scans it over a ``[S, T, 480]`` chunk.
+
+Silence handling follows the reference exactly (denoise.c:389-393, 474-495):
+on silent frames the RNN state is left untouched and no gain/pitch filtering is
+applied, but synthesis and the delayed-spectrum rotation still happen.  With a
+batch this becomes per-stream ``where`` masking rather than a branch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import (DEFAULT_MODEL, DEFAULT_RUNTIME, FRAME_SIZE, FREQ_SIZE,
+                     ModelConfig, NB_BANDS, NB_FEATURES, PITCH_BUF_SIZE,
+                     PITCH_MAX_PERIOD, RuntimeConfig, SILENCE_THRESHOLD,
+                     WINDOW_SIZE)
+from . import tables
+from .dsp import biquad as biquad_mod
+from .dsp import pitch as pitch_mod
+from .dsp.transform import (apply_window, compute_band_corr,
+                            compute_band_energy, dct, forward_transform,
+                            frame_synthesis, interp_band_gain)
+from .models.rnn import ModelParams, RNNState, compute_rnn, init_rnn_state
+
+
+class DenoiseState(NamedTuple):
+    """Batched equivalent of the reference DenoiseState (denoise.c:68-88)."""
+
+    analysis_mem: jax.Array      # [S, FRAME_SIZE]
+    synthesis_mem: jax.Array     # [S, FRAME_SIZE]
+    pitch_buf: jax.Array         # [S, PITCH_BUF_SIZE]
+    last_gain: jax.Array         # [S]
+    last_period: jax.Array       # [S] int32
+    mem_hp: jax.Array            # [S, 2]
+    lastg: jax.Array             # [S, NB_BANDS]
+    rnn: RNNState
+    delayed_X: jax.Array         # [S, FREQ_SIZE] complex64
+    delayed_P: jax.Array         # [S, FREQ_SIZE] complex64
+    delayed_Ex: jax.Array        # [S, NB_BANDS]
+    delayed_Ep: jax.Array        # [S, NB_BANDS]
+    delayed_Exp: jax.Array       # [S, NB_BANDS]
+
+
+def init_state(n_streams: int,
+               config: ModelConfig = DEFAULT_MODEL) -> DenoiseState:
+    """Zero state for S streams (rnnoise_init, denoise.c:285-309)."""
+    S = n_streams
+    f32 = jnp.float32
+    return DenoiseState(
+        analysis_mem=jnp.zeros((S, FRAME_SIZE), f32),
+        synthesis_mem=jnp.zeros((S, FRAME_SIZE), f32),
+        pitch_buf=jnp.zeros((S, PITCH_BUF_SIZE), f32),
+        last_gain=jnp.zeros((S,), f32),
+        last_period=jnp.zeros((S,), jnp.int32),
+        mem_hp=jnp.zeros((S, 2), f32),
+        lastg=jnp.zeros((S, NB_BANDS), f32),
+        rnn=init_rnn_state(S, config),
+        delayed_X=jnp.zeros((S, FREQ_SIZE), jnp.complex64),
+        delayed_P=jnp.zeros((S, FREQ_SIZE), jnp.complex64),
+        delayed_Ex=jnp.zeros((S, NB_BANDS), f32),
+        delayed_Ep=jnp.zeros((S, NB_BANDS), f32),
+        delayed_Exp=jnp.zeros((S, NB_BANDS), f32),
+    )
+
+
+def reset_streams(state: DenoiseState, mask: jax.Array) -> DenoiseState:
+    """Re-init the streams where ``mask`` is True without touching the others —
+    the batched form of calling rnnoise_init on one stream (stream
+    attach/detach support; no C analogue needed since states there are
+    per-stream)."""
+    S = state.analysis_mem.shape[0]
+    fresh = init_state(S)
+    def blend(a, b):
+        m = mask.reshape((S,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, a, b)
+    return jax.tree.map(blend, fresh, state)
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (rnn_compute_frame_features, denoise.c:347-398)
+# ---------------------------------------------------------------------------
+
+class FrameFeatures(NamedTuple):
+    X: jax.Array           # [S, FREQ_SIZE] complex
+    P: jax.Array           # [S, FREQ_SIZE] complex
+    Ex: jax.Array          # [S, NB_BANDS]
+    Ep: jax.Array
+    Exp: jax.Array
+    features: jax.Array    # [S, NB_FEATURES]
+    silence: jax.Array     # [S] bool
+
+
+def _log_energy_follower(Ex: jax.Array) -> jax.Array:
+    """The spectral-floor follower of denoise.c:381-388, unrolled over the 32
+    bands (cheap [S]-wide ops; the recurrence is only 32 steps)."""
+    L = jnp.log10(1e-2 + Ex)
+    log_max = jnp.full_like(L[:, 0], -2.0)
+    follow = jnp.full_like(L[:, 0], -2.0)
+    cols = []
+    for i in range(NB_BANDS):
+        ly = jnp.maximum(log_max - 7.0, jnp.maximum(follow - 1.5, L[:, i]))
+        log_max = jnp.maximum(log_max, ly)
+        follow = jnp.maximum(follow - 1.5, ly)
+        cols.append(ly)
+    return jnp.stack(cols, axis=-1)
+
+
+def compute_frame_features(state: DenoiseState, x: jax.Array,
+                           training: bool = False
+                           ) -> Tuple[DenoiseState, FrameFeatures]:
+    """x: [S, FRAME_SIZE] HP-filtered PCM.  Returns the updated state (analysis
+    mem, pitch buffer, pitch continuity) and this frame's features."""
+    analysis_mem, X, Ex = _frame_analysis(state.analysis_mem, x)
+    pitch_buf = jnp.concatenate([state.pitch_buf[:, FRAME_SIZE:], x], axis=-1)
+
+    ds = pitch_mod.pitch_downsample(pitch_buf)
+    pitch = pitch_mod.pitch_search(ds)
+    pitch_index = PITCH_MAX_PERIOD - pitch
+    T0, gain = pitch_mod.remove_doubling(ds, pitch_index, state.last_period,
+                                         state.last_gain)
+
+    # pitch-delayed window p[i] = pitch_buf[PITCH_BUF_SIZE-WINDOW_SIZE-T0+i]
+    start = PITCH_BUF_SIZE - WINDOW_SIZE - T0
+    p = jax.vmap(lambda b, s: jax.lax.dynamic_slice(b, (s,), (WINDOW_SIZE,)))(
+        pitch_buf, start)
+    P = forward_transform(apply_window(p))
+    Ep = compute_band_energy(P)
+    Exp_raw = compute_band_corr(X, P)
+    Exp = Exp_raw / jnp.sqrt(0.001 + Ex * Ep)
+
+    Ly = _log_energy_follower(Ex)
+    E = jnp.sum(Ex, axis=-1)
+
+    f_bfcc = dct(Ly)
+    f_bfcc = f_bfcc.at[:, 0].add(-12.0).at[:, 1].add(-4.0)
+    f_corr = dct(Exp)
+    f_pitch = 0.01 * (T0.astype(jnp.float32) - 300.0)
+    features = jnp.concatenate([f_bfcc, f_corr, f_pitch[:, None]], axis=-1)
+
+    silence = E < SILENCE_THRESHOLD
+    if not training:
+        features = jnp.where(silence[:, None], 0.0, features)
+
+    new_state = state._replace(analysis_mem=analysis_mem, pitch_buf=pitch_buf,
+                               last_period=T0, last_gain=gain)
+    return new_state, FrameFeatures(X, P, Ex, Ep, Exp, features, silence)
+
+
+def _frame_analysis(analysis_mem, x):
+    win = jnp.concatenate([analysis_mem, x], axis=-1)
+    X = forward_transform(apply_window(win))
+    return x, X, compute_band_energy(X)
+
+
+# ---------------------------------------------------------------------------
+# pitch comb filter (rnn_pitch_filter, denoise.c:421-455)
+# ---------------------------------------------------------------------------
+
+def pitch_filter(X, P, Ex, Ep, Exp, g):
+    sq = jnp.square
+    r = jnp.where(Exp > g, 1.0,
+                  sq(Exp) * (1.0 - sq(g)) / (0.001 + sq(g) * (1.0 - sq(Exp))))
+    r = jnp.sqrt(jnp.clip(r, 0.0, 1.0))
+    r = r * jnp.sqrt(Ex / (1e-8 + Ep))
+    rf = interp_band_gain(r)
+    X = X + rf * P
+    newE = compute_band_energy(X)
+    norm = jnp.sqrt(Ex / (1e-8 + newE))
+    normf = interp_band_gain(norm)
+    return X * normf
+
+
+# ---------------------------------------------------------------------------
+# the per-frame step
+# ---------------------------------------------------------------------------
+
+def process_frame(params: Optional[ModelParams], state: DenoiseState,
+                  pcm: jax.Array, rt: RuntimeConfig = DEFAULT_RUNTIME):
+    """Advance all streams by one frame.
+
+    pcm: [S, FRAME_SIZE] float PCM in int16 scale.
+    Returns (new_state, out_pcm[S, FRAME_SIZE], vad[S]).
+    ``params=None`` runs the DSP path with unity gains (no model), useful for
+    latency/passthrough testing.
+    """
+    x, mem_hp = biquad_mod.biquad(pcm, state.mem_hp,
+                                  tables.BIQUAD_HP_B, tables.BIQUAD_HP_A)
+    state = state._replace(mem_hp=mem_hp)
+    state, ff = compute_frame_features(state, x)
+    silence = ff.silence
+
+    if params is not None:
+        rnn_new, g, vad = compute_rnn(params, state.rnn, ff.features, rt)
+        # Silent frames freeze the RNN state (compute_rnn skipped in C).
+        rnn_state = jax.tree.map(
+            lambda new, old: jnp.where(silence[:, None], old, new),
+            rnn_new, state.rnn)
+        vad = jnp.where(silence, 0.0, vad)
+    else:
+        rnn_state = state.rnn
+        g = jnp.ones((pcm.shape[0], NB_BANDS), jnp.float32)
+        vad = jnp.zeros((pcm.shape[0],), jnp.float32)
+
+    # Pitch-filter + apply gains to the *previous* frame's spectrum.
+    Xd = pitch_filter(state.delayed_X, state.delayed_P, state.delayed_Ex,
+                      state.delayed_Ep, state.delayed_Exp, g)
+    g_capped = jnp.maximum(g, 0.6 * state.lastg)
+    lastg = jnp.minimum(1.0, g_capped * (state.delayed_Ex + 1e-3)
+                        / (ff.Ex + 1e-3))
+    gf = interp_band_gain(g_capped)
+    Xd = Xd * gf
+
+    sil = silence[:, None]
+    X_synth = jnp.where(sil, state.delayed_X, Xd)
+    lastg = jnp.where(sil, state.lastg, lastg)
+
+    synthesis_mem, out = frame_synthesis(state.synthesis_mem, X_synth)
+
+    new_state = state._replace(
+        synthesis_mem=synthesis_mem,
+        lastg=lastg,
+        rnn=rnn_state,
+        delayed_X=ff.X, delayed_P=ff.P,
+        delayed_Ex=ff.Ex, delayed_Ep=ff.Ep, delayed_Exp=ff.Exp,
+    )
+    return new_state, out, vad
+
+
+def process_frames(params: Optional[ModelParams], state: DenoiseState,
+                   pcm: jax.Array, rt: RuntimeConfig = DEFAULT_RUNTIME):
+    """Scan process_frame over time.  pcm: [S, T, FRAME_SIZE].
+
+    Returns (new_state, out[S, T, FRAME_SIZE], vad[S, T]).
+    """
+    def step(st, frame):
+        st, out, vad = process_frame(params, st, frame, rt)
+        return st, (out, vad)
+
+    state, (out, vad) = jax.lax.scan(step, state,
+                                     jnp.moveaxis(pcm, 1, 0))
+    return state, jnp.moveaxis(out, 0, 1), jnp.moveaxis(vad, 0, 1)

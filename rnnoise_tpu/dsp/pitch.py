@@ -1,0 +1,285 @@
+"""Batched open-loop pitch analysis.
+
+Re-design of the reference pitch stack (src/pitch.c, src/celt_lpc.c) for TPU:
+every stage operates on a ``[S, ...]`` stream batch with static shapes.
+
+  * 2x decimation + LPC whitening   (rnn_pitch_downsample, pitch.c:146-214)
+  * order-4 autocorrelation + Levinson-Durbin with the 30 dB early-out
+    replicated via masking                    (celt_lpc.c:38-174)
+  * coarse 4x / fine 2x cross-correlation search with the dual-best ranking of
+    find_best_pitch                           (pitch.c:44-102, 281-385)
+  * rnn_remove_doubling's sub-multiple ladder (pitch.c:422-528) as a statically
+    unrolled, masked select chain.
+
+The per-lag correlations map onto ``lax.conv_general_dilated`` with
+``feature_group_count = S`` (per-stream filters), so XLA can tile them onto the
+MXU instead of the reference's 4-lag-unrolled scalar kernels (pitch.h:51-142).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (PITCH_BUF_SIZE, PITCH_FRAME_SIZE, PITCH_MAX_PERIOD,
+                      PITCH_MIN_PERIOD)
+
+_DS_LEN = PITCH_BUF_SIZE // 2          # 864
+_X_OFF = PITCH_MAX_PERIOD // 2         # 384
+_N2 = PITCH_FRAME_SIZE // 2            # 480
+_MAXP2 = PITCH_MAX_PERIOD // 2         # 384
+_MINP2 = PITCH_MIN_PERIOD // 2         # 30
+_MAX_PITCH = PITCH_MAX_PERIOD - 3 * PITCH_MIN_PERIOD   # 588
+
+_SECOND_CHECK = (0, 0, 3, 2, 3, 2, 5, 2, 3, 2, 3, 2, 5, 2, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def batched_xcorr(x: jax.Array, y: jax.Array, nlags: int) -> jax.Array:
+    """xc[s, i] = sum_j x[s, j] * y[s, i + j]   for i < nlags.
+
+    x: [S, K], y: [S, >= nlags + K - 1].  Per-stream filters via grouped conv.
+    """
+    S, K = x.shape
+    lhs = y[:, : nlags + K - 1][None, :, :]          # [1, S, L]
+    rhs = x[:, None, :]                              # [S, 1, K]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=S,
+        preferred_element_type=jnp.float32,
+    )
+    return out[0]                                    # [S, nlags]
+
+
+def _sliding_syy(y: jax.Array, length: int, nlags: int) -> jax.Array:
+    """Syy[s, i] = 1 + sum_{j<length} y[s, i+j]^2, clamped >= 1
+    (find_best_pitch's running denominator, pitch.c:67-100)."""
+    c = jnp.cumsum(jnp.square(y), axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[:, :1]), c], axis=-1)
+    syy = 1.0 + c[:, length : length + nlags] - c[:, :nlags]
+    return jnp.maximum(syy, 1.0)
+
+
+def find_best_pitch(xcorr: jax.Array, syy: jax.Array):
+    """Top-2 lags ranked by xcorr^2 / Syy over lags with xcorr > 0, with the
+    reference's initial candidates (0, 1) when fewer than two lags qualify
+    (pitch.c:61-66 initialisation)."""
+    num = jnp.square(xcorr * 1e-12)
+    mask = xcorr > 0
+    q = jnp.where(mask, num / syy, -jnp.inf)
+    i0 = jnp.argmax(q, axis=-1).astype(jnp.int32)
+    q2 = jnp.where(jax.nn.one_hot(i0, q.shape[-1], dtype=bool), -jnp.inf, q)
+    i1 = jnp.argmax(q2, axis=-1).astype(jnp.int32)
+    count = jnp.sum(mask, axis=-1)
+    i0 = jnp.where(count >= 1, i0, 0)
+    i1 = jnp.where(count >= 2, i1, jnp.where(count == 1, 0, 1))
+    return i0, i1
+
+
+def _take(a: jax.Array, idx: jax.Array) -> jax.Array:
+    """a: [S, L], idx: [S] -> a[s, idx[s]]  (clamped)."""
+    return jnp.take_along_axis(a, idx[:, None], axis=-1)[:, 0]
+
+
+def _lagged_dot(ds: jax.Array, lag: jax.Array) -> jax.Array:
+    """sum_{j<480} x[j] * x[j-lag]  with x[j] = ds[:, 384+j]; lag: [S] int."""
+    def one(d, t):
+        win = jax.lax.dynamic_slice(d, (_X_OFF - t,), (_N2,))
+        return jnp.dot(d[_X_OFF:], win)
+    return jax.vmap(one)(ds, lag)
+
+
+# ---------------------------------------------------------------------------
+# downsample + whitening
+# ---------------------------------------------------------------------------
+
+def pitch_downsample(pitch_buf: jax.Array) -> jax.Array:
+    """[S, PITCH_BUF_SIZE] -> [S, PITCH_BUF_SIZE//2] decimated + LPC-whitened
+    (rnn_pitch_downsample, pitch.c:146-214)."""
+    x = pitch_buf.astype(jnp.float32)
+    S = x.shape[0]
+    # 2x decimation: x_lp[i] = .25*(x[2i-1] + x[2i+1]) + .5*x[2i]; i=0 special.
+    even = x[:, 0::2]                                # [S, 864]
+    left = jnp.concatenate([jnp.zeros((S, 1), x.dtype), x[:, 1:-1:2]], axis=-1)
+    right = x[:, 1::2]
+    x_lp = 0.25 * (left + right) + 0.5 * even
+    x_lp = x_lp.at[:, 0].set(0.25 * x[:, 1] + 0.5 * x[:, 0])
+
+    # Order-4 autocorrelation (rnn_autocorr fast path + tail == plain autocorr).
+    n = _DS_LEN
+    ac = [jnp.einsum("sj,sj->s", x_lp[:, : n - k], x_lp[:, k:]) for k in range(5)]
+    ac[0] = ac[0] * 1.0001
+    for i in range(1, 5):
+        ac[i] = ac[i] - ac[i] * (0.008 * i) ** 2     # lag windowing
+
+    lpc = _levinson4(ac)
+
+    # progressive .9^i damping (pitch.c:202-206)
+    tmp = 1.0
+    for i in range(4):
+        tmp *= 0.9
+        lpc[i] = lpc[i] * tmp
+
+    c1 = 0.8
+    num = jnp.stack([
+        lpc[0] + c1,
+        lpc[1] + c1 * lpc[0],
+        lpc[2] + c1 * lpc[1],
+        lpc[3] + c1 * lpc[2],
+        c1 * lpc[3],
+    ], axis=-1)                                      # [S, 5]
+
+    # celt_fir5 (pitch.c:104-143): y[i] = x[i] + sum_k num[k] * x[i-1-k]
+    y = x_lp
+    for k in range(5):
+        shifted = jnp.pad(x_lp, ((0, 0), (k + 1, 0)))[:, : x_lp.shape[-1]]
+        y = y + num[:, k:k + 1] * shifted
+    return y
+
+
+def _levinson4(ac):
+    """Order-4 Levinson-Durbin with the 30 dB early-out replicated by masking
+    (rnn_lpc, celt_lpc.c:38-89)."""
+    ac0 = ac[0]
+    lpc = [jnp.zeros_like(ac0) for _ in range(4)]
+    error = ac0
+    done = ac0 == 0.0
+    for i in range(4):
+        rr = ac[i + 1]
+        for j in range(i):
+            rr = rr + lpc[j] * ac[i - j]
+        r = -rr / jnp.where(done, 1.0, error)
+        new = list(lpc)
+        new[i] = r
+        for j in range((i + 1) // 2):
+            t1, t2 = lpc[j], lpc[i - 1 - j]
+            new[j] = t1 + r * t2
+            new[i - 1 - j] = t2 + r * t1
+        lpc = [jnp.where(done, o, n) for o, n in zip(lpc, new)]
+        error = jnp.where(done, error, error - r * r * error)
+        done = done | (error < 0.001 * ac0)
+    return lpc
+
+
+# ---------------------------------------------------------------------------
+# open-loop search
+# ---------------------------------------------------------------------------
+
+def pitch_search(x_lp: jax.Array) -> jax.Array:
+    """x_lp: [S, 864] whitened, decimated pitch buffer.
+
+    Returns ``pitch`` (in 48 kHz sample units before the 768-minus flip), i.e.
+    exactly what rnn_pitch_search writes into *pitch (pitch.c:281-385) when
+    called with (x_lp+384, x_lp, 960, 588).
+    """
+    max_pitch = _MAX_PITCH                           # 588
+    len2, len4 = _N2, _N2 // 2                       # 480, 240
+    nl4, nl2 = max_pitch // 4, max_pitch // 2        # 147, 294
+
+    x4 = x_lp[:, _X_OFF::2][:, :len4]                # x_lp4
+    y4 = x_lp[:, 0:2 * ((len2 * 2 + max_pitch) // 4):2]   # y_lp4 [S, 387]
+
+    # Coarse search, 4x decimated.
+    xc4 = batched_xcorr(x4, y4, nl4)
+    bp0, bp1 = find_best_pitch(xc4, _sliding_syy(y4, len4, nl4))
+
+    # Fine search, 2x decimated, restricted to lags within 2 of 2*best.
+    lags = jnp.arange(nl2, dtype=jnp.int32)[None, :]
+    cand = (jnp.abs(lags - 2 * bp0[:, None]) <= 2) | \
+           (jnp.abs(lags - 2 * bp1[:, None]) <= 2)
+    xc2_full = batched_xcorr(x_lp[:, _X_OFF:_X_OFF + len2], x_lp, nl2)
+    xc2 = jnp.where(cand, jnp.maximum(-1.0, xc2_full), 0.0)
+    fb0, _ = find_best_pitch(xc2, _sliding_syy(x_lp, len2, nl2))
+
+    # Pseudo-interpolation (pitch.c:368-384).
+    a = _take(xc2, jnp.maximum(fb0 - 1, 0))
+    b = _take(xc2, fb0)
+    c = _take(xc2, jnp.minimum(fb0 + 1, nl2 - 1))
+    offset = jnp.where((c - a) > 0.7 * (b - a), 1,
+                       jnp.where((a - c) > 0.7 * (b - c), -1, 0)).astype(jnp.int32)
+    interior = (fb0 > 0) & (fb0 < nl2 - 1)
+    offset = jnp.where(interior, offset, 0)
+    return 2 * fb0 - offset
+
+
+# ---------------------------------------------------------------------------
+# doubling removal
+# ---------------------------------------------------------------------------
+
+def _pitch_gain(xy, xx, yy):
+    return xy / jnp.sqrt(1.0 + xx * yy)
+
+
+def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
+                    prev_period: jax.Array, prev_gain: jax.Array):
+    """Batched rnn_remove_doubling (pitch.c:422-528).
+
+    x_lp: [S, 864]; pitch_index/prev_period: [S] int32 in 48 kHz units;
+    prev_gain: [S].  Returns (new_pitch_index[S] int32, gain[S]).
+    """
+    minperiod0 = PITCH_MIN_PERIOD
+    T0 = jnp.minimum(pitch_index // 2, _MAXP2 - 1).astype(jnp.int32)
+    prev_period = (prev_period // 2).astype(jnp.int32)
+
+    x = x_lp                                          # x[j] == x_lp[:, 384+j]
+    xx = jnp.einsum("sj,sj->s", x[:, _X_OFF:], x[:, _X_OFF:])
+    xy = _lagged_dot(x, T0)
+
+    # yy_lookup[i] = sum_{j<480} x[j-i]^2 via prefix sums (clamped >= 0).
+    c = jnp.cumsum(jnp.square(x), axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[:, :1]), c], axis=-1)
+    i = jnp.arange(_MAXP2 + 1)[None, :]
+    yy_lookup = jnp.maximum(0.0,
+                            jnp.take_along_axis(c, _DS_LEN - i, axis=-1) -
+                            jnp.take_along_axis(c, _X_OFF - i, axis=-1))
+
+    yy = _take(yy_lookup, T0)
+    best_xy, best_yy = xy, yy
+    g0 = _pitch_gain(xy, xx, yy)
+    g = g0
+    T = T0
+
+    active = jnp.ones_like(T0, dtype=bool)
+    for k in range(2, 16):
+        T1 = ((2 * T0 + k) // (2 * k)).astype(jnp.int32)
+        active = active & (T1 >= _MINP2)              # `break` (pitch.c:469-470)
+        if k == 2:
+            T1b = jnp.where(T1 + T0 > _MAXP2, T0, T0 + T1)
+        else:
+            T1b = ((2 * _SECOND_CHECK[k] * T0 + k) // (2 * k)).astype(jnp.int32)
+        T1c = jnp.where(active, T1, 0)                # keep gathers in range
+        T1bc = jnp.where(active, T1b, 0)
+        xy1 = _lagged_dot(x, T1c)
+        xy2 = _lagged_dot(x, T1bc)
+        xy_k = 0.5 * (xy1 + xy2)
+        yy_k = 0.5 * (_take(yy_lookup, T1c) + _take(yy_lookup, T1bc))
+        g1 = _pitch_gain(xy_k, xx, yy_k)
+        d = jnp.abs(T1 - prev_period)
+        cont = jnp.where(d <= 1, prev_gain,
+                         jnp.where((d <= 2) & (5 * k * k < T0),
+                                   0.5 * prev_gain, 0.0))
+        thresh = jnp.maximum(0.3, 0.7 * g0 - cont)
+        # NOTE: the reference's `else if (T1 < 2*minperiod)` branch is dead code
+        # (subsumed by T1 < 3*minperiod); replicated as-is (pitch.c:494-498).
+        thresh = jnp.where(T1 < 3 * _MINP2,
+                           jnp.maximum(0.4, 0.85 * g0 - cont), thresh)
+        take = active & (g1 > thresh)
+        best_xy = jnp.where(take, xy_k, best_xy)
+        best_yy = jnp.where(take, yy_k, best_yy)
+        T = jnp.where(take, T1, T)
+        g = jnp.where(take, g1, g)
+
+    best_xy = jnp.maximum(0.0, best_xy)
+    pg = jnp.where(best_yy <= best_xy, 1.0, best_xy / (best_yy + 1.0))
+
+    xcorr = [_lagged_dot(x, jnp.clip(T + kk - 1, 0, _MAXP2)) for kk in range(3)]
+    offset = jnp.where((xcorr[2] - xcorr[0]) > 0.7 * (xcorr[1] - xcorr[0]), 1,
+                       jnp.where((xcorr[0] - xcorr[2]) > 0.7 * (xcorr[1] - xcorr[2]),
+                                 -1, 0)).astype(jnp.int32)
+    pg = jnp.minimum(pg, g)
+    T0_out = jnp.maximum(2 * T + offset, minperiod0).astype(jnp.int32)
+    return T0_out, pg

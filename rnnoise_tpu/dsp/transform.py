@@ -1,0 +1,88 @@
+"""Windowing, 960-point real FFT, band energies and the band-gain interpolation
+— all batched over a leading stream axis ``[S, ...]``.
+
+The reference implements these as per-bin scalar loops around a customised
+KissFFT (src/denoise.c:90-225, src/kiss_fft.c).  TPU-natively, the band math
+becomes two fixed matrices (see tables.py) and the FFT uses XLA's batched rFFT
+with the reference's scaling conventions:
+
+  * forward_transform  = rfft(x) / WINDOW_SIZE          (src/denoise.c:186-198;
+    the 1/N scale lives inside rnn_fft_c, src/kiss_fft.c:459,582)
+  * inverse_transform  = WINDOW_SIZE * irfft(X)         (src/denoise.c:200-217;
+    the C code reuses the forward FFT on a conjugate-symmetric spectrum and
+    reads the output reversed — algebraically identical to a plain inverse
+    DFT without the 1/N scale)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import tables
+from ..config import FRAME_SIZE, FREQ_SIZE, WINDOW_SIZE
+
+
+def apply_window(x: jax.Array) -> jax.Array:
+    """x: [..., WINDOW_SIZE] -> windowed [..., WINDOW_SIZE]."""
+    return x * jnp.asarray(tables.full_window())
+
+
+def forward_transform(x: jax.Array) -> jax.Array:
+    """x: [..., WINDOW_SIZE] real -> [..., FREQ_SIZE] complex64, scaled 1/N."""
+    X = jnp.fft.rfft(x.astype(jnp.float32), n=WINDOW_SIZE, axis=-1)
+    return (X / WINDOW_SIZE).astype(jnp.complex64)
+
+
+def inverse_transform(X: jax.Array) -> jax.Array:
+    """X: [..., FREQ_SIZE] complex -> [..., WINDOW_SIZE] real, scaled N."""
+    x = jnp.fft.irfft(X, n=WINDOW_SIZE, axis=-1)
+    return (x * WINDOW_SIZE).astype(jnp.float32)
+
+
+def compute_band_energy(X: jax.Array) -> jax.Array:
+    """X: [..., FREQ_SIZE] complex -> [..., NB_BANDS] band energies."""
+    e = jnp.real(X) ** 2 + jnp.imag(X) ** 2
+    return e @ jnp.asarray(tables.band_matrix()).T
+
+
+def compute_band_corr(X: jax.Array, P: jax.Array) -> jax.Array:
+    """Triangular-banded Re{X · conj(P)} (src/denoise.c:115-138)."""
+    c = jnp.real(X) * jnp.real(P) + jnp.imag(X) * jnp.imag(P)
+    return c @ jnp.asarray(tables.band_matrix()).T
+
+
+def interp_band_gain(band_g: jax.Array) -> jax.Array:
+    """band_g: [..., NB_BANDS] -> per-bin gain [..., FREQ_SIZE].
+
+    Bins 401..480 come out zero (20 kHz brick wall — see tables.interp_matrix).
+    """
+    return band_g @ jnp.asarray(tables.interp_matrix()).T
+
+
+def dct(x: jax.Array) -> jax.Array:
+    """32-point DCT-II with the reference's legacy sqrt(2/22) scaling."""
+    return x @ jnp.asarray(tables.dct_matrix()).T
+
+
+def frame_analysis(analysis_mem: jax.Array, pcm: jax.Array):
+    """One 50 %-overlap analysis step (src/denoise.c:332-345).
+
+    analysis_mem: [S, FRAME_SIZE] previous frame;  pcm: [S, FRAME_SIZE].
+    Returns (new_analysis_mem, X[S, FREQ_SIZE], Ex[S, NB_BANDS]).
+    """
+    x = jnp.concatenate([analysis_mem, pcm], axis=-1)
+    X = forward_transform(apply_window(x))
+    Ex = compute_band_energy(X)
+    return pcm, X, Ex
+
+
+def frame_synthesis(synthesis_mem: jax.Array, Y: jax.Array):
+    """Inverse transform + window + overlap-add (src/denoise.c:400-407).
+
+    synthesis_mem: [S, FRAME_SIZE];  Y: [S, FREQ_SIZE] complex.
+    Returns (new_synthesis_mem, out_pcm[S, FRAME_SIZE]).
+    """
+    x = apply_window(inverse_transform(Y))
+    out = x[..., :FRAME_SIZE] + synthesis_mem
+    return x[..., FRAME_SIZE:], out

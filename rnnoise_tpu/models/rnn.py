@@ -1,0 +1,71 @@
+"""The RNNoise model graph: conv1 -> conv2 -> 3x GRU -> gain/VAD heads.
+
+Replicates compute_rnn (reference src/rnn.c:44-60) over a stream batch:
+conv1(tanh) and conv2(tanh) run as conv-as-GEMM with a carried 2-frame shift
+register, the three GRUs chain, and the concatenation
+[conv2_out, gru1, gru2, gru3] feeds the sigmoid gain and VAD heads.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, RuntimeConfig, DEFAULT_MODEL, DEFAULT_RUNTIME
+from ..nn.layers import LinearParams, conv1d_step, dense, gru_step
+
+
+class ModelParams(NamedTuple):
+    conv1: LinearParams
+    conv2: LinearParams
+    gru1_input: LinearParams
+    gru1_recurrent: LinearParams
+    gru2_input: LinearParams
+    gru2_recurrent: LinearParams
+    gru3_input: LinearParams
+    gru3_recurrent: LinearParams
+    dense_out: LinearParams
+    vad_dense: LinearParams
+
+
+class RNNState(NamedTuple):
+    """Batched equivalent of the reference RNNState (src/rnn.h:40-46)."""
+
+    conv1_mem: jax.Array     # [S, (k-1) * input_dim]
+    conv2_mem: jax.Array     # [S, (k-1) * cond_size]
+    gru1: jax.Array          # [S, gru_size]
+    gru2: jax.Array
+    gru3: jax.Array
+
+
+def init_rnn_state(n_streams: int,
+                   config: ModelConfig = DEFAULT_MODEL,
+                   dtype=jnp.float32) -> RNNState:
+    k = config.conv_kernel - 1
+    return RNNState(
+        conv1_mem=jnp.zeros((n_streams, k * config.input_dim), dtype),
+        conv2_mem=jnp.zeros((n_streams, k * config.cond_size), dtype),
+        gru1=jnp.zeros((n_streams, config.gru_size), dtype),
+        gru2=jnp.zeros((n_streams, config.gru_size), dtype),
+        gru3=jnp.zeros((n_streams, config.gru_size), dtype),
+    )
+
+
+def compute_rnn(params: ModelParams, state: RNNState, features: jax.Array,
+                rt: RuntimeConfig = DEFAULT_RUNTIME):
+    """features: [S, NB_FEATURES] -> (new_state, gains[S, 32], vad[S])."""
+    q, ap = rt.quantized, rt.approx_act
+    conv1_mem, c1 = conv1d_step(params.conv1, state.conv1_mem, features,
+                                "tanh", False, ap)      # conv1 is never int8
+    conv2_mem, c2 = conv1d_step(params.conv2, state.conv2_mem, c1,
+                                "tanh", q, ap)
+    g1 = gru_step(params.gru1_input, params.gru1_recurrent, state.gru1, c2, q, ap)
+    g2 = gru_step(params.gru2_input, params.gru2_recurrent, state.gru2, g1, q, ap)
+    g3 = gru_step(params.gru3_input, params.gru3_recurrent, state.gru3, g2, q, ap)
+    cat = jnp.concatenate([c2, g1, g2, g3], axis=-1)
+    gains = dense(params.dense_out, cat, "sigmoid", False, ap)
+    vad = dense(params.vad_dense, cat, "sigmoid", False, ap)[:, 0]
+    new_state = RNNState(conv1_mem, conv2_mem, g1, g2, g3)
+    return new_state, gains, vad
