@@ -88,12 +88,9 @@ def test_biquad_parity(oracle_int8, rng):
     ours_y, ours_mem = biquad_mod.biquad(jnp.asarray(x)[None, :],
                                          jnp.asarray(mem)[None, :], b, a)
     ref_y, ref_mem = oracle_int8.biquad(x, mem, b, a)
-    # The HP biquad is near-unstable (poles ~0.998): f32 tree-reassociation in
-    # the parallel scan drifts ~1e-3 relative from C's double-accumulator loop
-    # over a frame.  That is ~3 LSB at int16 scale — inside the pipeline
-    # budget (gains well under 1e-3 affected; PCM "within a few LSB").
-    np.testing.assert_allclose(np.asarray(ours_y)[0], ref_y, atol=5.0)
-    np.testing.assert_allclose(np.asarray(ours_mem)[0], ref_mem, atol=5.0)
+    # Double-float scan vs C's double-accumulator loop: < 1 int16 LSB.
+    np.testing.assert_allclose(np.asarray(ours_y)[0], ref_y, atol=0.5)
+    np.testing.assert_allclose(np.asarray(ours_mem)[0], ref_mem, atol=0.5)
 
 
 def test_biquad_multiframe_stability(oracle_int8, rng):
@@ -106,4 +103,4 @@ def test_biquad_multiframe_stability(oracle_int8, rng):
         x = (3000 * rng.standard_normal(FRAME_SIZE)).astype(np.float32)
         y_j, mem_j = biquad_mod.biquad(jnp.asarray(x)[None, :], mem_j, b, a)
         y_c, mem_c = oracle_int8.biquad(x, mem_c, b, a)
-        np.testing.assert_allclose(np.asarray(y_j)[0], y_c, atol=20.0)
+        np.testing.assert_allclose(np.asarray(y_j)[0], y_c, atol=1.0)
