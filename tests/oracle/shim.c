@@ -82,6 +82,11 @@ EXPORT float oracle_last_gain(DenoiseState *st) { return st->last_gain; }
 EXPORT RNNState *oracle_rnn_state(DenoiseState *st) { return &st->rnn; }
 EXPORT RNNoise *oracle_model(DenoiseState *st) { return &st->model; }
 EXPORT int oracle_arch(DenoiseState *st) { return st->arch; }
+EXPORT float *oracle_delayed_X(DenoiseState *st) { return (float *)st->delayed_X; }
+EXPORT float *oracle_delayed_P(DenoiseState *st) { return (float *)st->delayed_P; }
+EXPORT float *oracle_delayed_Ex(DenoiseState *st) { return st->delayed_Ex; }
+EXPORT float *oracle_delayed_Ep(DenoiseState *st) { return st->delayed_Ep; }
+EXPORT float *oracle_delayed_Exp(DenoiseState *st) { return st->delayed_Exp; }
 
 EXPORT int oracle_frame_features(DenoiseState *st, float *X_ri, float *P_ri,
                                  float *Ex, float *Ep, float *Exp,

@@ -103,4 +103,4 @@ def test_biquad_multiframe_stability(oracle_int8, rng):
         x = (3000 * rng.standard_normal(FRAME_SIZE)).astype(np.float32)
         y_j, mem_j = biquad_mod.biquad(jnp.asarray(x)[None, :], mem_j, b, a)
         y_c, mem_c = oracle_int8.biquad(x, mem_c, b, a)
-        np.testing.assert_allclose(np.asarray(y_j)[0], y_c, atol=1.0)
+        np.testing.assert_allclose(np.asarray(y_j)[0], y_c, atol=2.0)
