@@ -46,6 +46,9 @@ class Oracle:
              [_f32p, _f32p, _f32p, _f32p, _f32p, _f32p]),
             ("rnn_biquad", None,
              [_f32p, _f32p, _f32p, _f32p, _f32p, ct.c_int]),
+            ("rnnoise_model_from_buffer", ct.c_void_p,
+             [ct.c_char_p, ct.c_int]),
+            ("rnnoise_model_free", None, [ct.c_void_p]),
             ("rnnoise_create", ct.c_void_p, [ct.c_void_p]),
             ("rnnoise_destroy", None, [ct.c_void_p]),
             ("rnnoise_init", ct.c_int, [ct.c_void_p, ct.c_void_p]),
@@ -137,16 +140,24 @@ class Oracle:
         return xri[0::2] + 1j * xri[1::2]
 
     # -- stateful oracle stream -------------------------------------------
-    def create_state(self) -> "OracleStream":
-        return OracleStream(self)
+    def create_state(self, blob: bytes = None) -> "OracleStream":
+        """blob: optional weights_blob.bin content — loads the model at
+        runtime via rnnoise_model_from_buffer (include/rnnoise.h:98-105)."""
+        return OracleStream(self, blob)
 
 
 class OracleStream:
     """One reference DenoiseState driven through ctypes."""
 
-    def __init__(self, oracle: Oracle):
+    def __init__(self, oracle: Oracle, blob: bytes = None):
         self._o = oracle
-        self._st = oracle._lib.rnnoise_create(None)
+        self._blob = blob          # borrowed by C; must outlive the state
+        self._model = None
+        if blob is not None:
+            self._model = oracle._lib.rnnoise_model_from_buffer(
+                blob, len(blob))
+            assert self._model
+        self._st = oracle._lib.rnnoise_create(self._model)
         assert self._st
 
     def __del__(self):
