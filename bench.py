@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: concurrent real-time 48 kHz streams denoised per chip.
+
+Runs the full batched pipeline (HP biquad -> FFT/pitch/features -> int8
+conv+3xGRU -> pitch comb filter + gains -> OLA synthesis) over a stream batch
+for T frames per dispatch and reports how many streams stay real-time
+(1 frame = 10 ms of audio).
+
+Prints exactly one JSON line:
+  {"metric": "realtime_streams_per_chip", "value": N, "unit": "streams",
+   "vs_baseline": N / 50000}
+(baseline = the driver-set north star of 50 000 streams/chip, BASELINE.md.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rnnoise_tpu.config import FRAME_SIZE, RuntimeConfig
+    from rnnoise_tpu.denoise import init_state, process_frames
+    from __graft_entry__ import _demo_params
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    params = _demo_params()
+    rt = RuntimeConfig(quantized=True)
+    rng = np.random.default_rng(0)
+
+    T = 100                       # 1 s of audio per dispatch
+    best = 0.0
+    best_cfg = None
+    for S in (256, 1024, 2048, 4096):
+        try:
+            state = init_state(S)
+            pcm = jnp.asarray(
+                3000 * rng.standard_normal((S, T, FRAME_SIZE)), jnp.float32)
+
+            fn = jax.jit(lambda st, x: process_frames(params, st, x, rt))
+            t0 = time.perf_counter()
+            state2, out, vad = fn(state, pcm)
+            jax.block_until_ready(out)
+            compile_and_first = time.perf_counter() - t0
+
+            n_iter = 3
+            t0 = time.perf_counter()
+            st = state
+            for _ in range(n_iter):
+                st, out, vad = fn(st, pcm)
+            jax.block_until_ready(out)
+            elapsed = (time.perf_counter() - t0) / n_iter
+
+            audio_seconds = T * FRAME_SIZE / 48000.0
+            streams_rt = S * audio_seconds / elapsed
+            log(f"S={S}: {elapsed*1e3:8.1f} ms / {audio_seconds:.1f} s audio "
+                f"-> {streams_rt:9.0f} realtime streams "
+                f"(first call {compile_and_first:.1f} s)")
+            if streams_rt > best:
+                best, best_cfg = streams_rt, (S, T)
+        except Exception as e:  # noqa: BLE001 — report partial results
+            log(f"S={S}: failed: {e}")
+            break
+
+    log(f"best: {best:.0f} streams at S={best_cfg}")
+    print(json.dumps({
+        "metric": "realtime_streams_per_chip",
+        "value": round(best, 1),
+        "unit": "streams",
+        "vs_baseline": round(best / 50000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,8 +44,10 @@ class DenoiseState(NamedTuple):
     mem_hp: jax.Array            # [S, 2]
     lastg: jax.Array             # [S, NB_BANDS]
     rnn: RNNState
-    delayed_X: jax.Array         # [S, FREQ_SIZE] complex64
-    delayed_P: jax.Array         # [S, FREQ_SIZE] complex64
+    delayed_X: jax.Array         # [S, FREQ_SIZE, 2] f32 (re/im — complex is
+    delayed_P: jax.Array         # kept out of jit boundaries; some TPU
+                                 # runtimes handle complex64 host<->device
+                                 # transfers unreliably)
     delayed_Ex: jax.Array        # [S, NB_BANDS]
     delayed_Ep: jax.Array        # [S, NB_BANDS]
     delayed_Exp: jax.Array       # [S, NB_BANDS]
@@ -65,8 +67,8 @@ def init_state(n_streams: int,
         mem_hp=jnp.zeros((S, 2), f32),
         lastg=jnp.zeros((S, NB_BANDS), f32),
         rnn=init_rnn_state(S, config),
-        delayed_X=jnp.zeros((S, FREQ_SIZE), jnp.complex64),
-        delayed_P=jnp.zeros((S, FREQ_SIZE), jnp.complex64),
+        delayed_X=jnp.zeros((S, FREQ_SIZE, 2), f32),
+        delayed_P=jnp.zeros((S, FREQ_SIZE, 2), f32),
         delayed_Ex=jnp.zeros((S, NB_BANDS), f32),
         delayed_Ep=jnp.zeros((S, NB_BANDS), f32),
         delayed_Exp=jnp.zeros((S, NB_BANDS), f32),
@@ -116,11 +118,17 @@ def _log_energy_follower(Ex: jax.Array) -> jax.Array:
 
 
 def compute_frame_features(state: DenoiseState, x: jax.Array,
-                           training: bool = False
+                           training: bool = False,
+                           lowpass_bin: Optional[jax.Array] = None
                            ) -> Tuple[DenoiseState, FrameFeatures]:
     """x: [S, FRAME_SIZE] HP-filtered PCM.  Returns the updated state (analysis
-    mem, pitch buffer, pitch continuity) and this frame's features."""
-    analysis_mem, X, Ex = _frame_analysis(state.analysis_mem, x)
+    mem, pitch buffer, pitch continuity) and this frame's features.
+
+    ``training`` replicates the -DTRAINING build (denoise.c:340-343, 389-397):
+    the silence gate becomes E < 0.1 without clearing features, and
+    ``lowpass_bin`` [S] zeroes spectrum bins >= lowpass (the data-augmentation
+    hook)."""
+    analysis_mem, X, Ex = _frame_analysis(state.analysis_mem, x, lowpass_bin)
     pitch_buf = jnp.concatenate([state.pitch_buf[:, FRAME_SIZE:], x], axis=-1)
 
     ds = pitch_mod.pitch_downsample(pitch_buf)
@@ -147,8 +155,10 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     f_pitch = 0.01 * (T0.astype(jnp.float32) - 300.0)
     features = jnp.concatenate([f_bfcc, f_corr, f_pitch[:, None]], axis=-1)
 
-    silence = E < SILENCE_THRESHOLD
-    if not training:
+    if training:
+        silence = E < 0.1
+    else:
+        silence = E < SILENCE_THRESHOLD
         features = jnp.where(silence[:, None], 0.0, features)
 
     new_state = state._replace(analysis_mem=analysis_mem, pitch_buf=pitch_buf,
@@ -156,9 +166,20 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     return new_state, FrameFeatures(X, P, Ex, Ep, Exp, features, silence)
 
 
-def _frame_analysis(analysis_mem, x):
+def _to_complex(x):
+    return jax.lax.complex(x[..., 0], x[..., 1])
+
+
+def _to_real_pair(X):
+    return jnp.stack([jnp.real(X), jnp.imag(X)], axis=-1)
+
+
+def _frame_analysis(analysis_mem, x, lowpass_bin=None):
     win = jnp.concatenate([analysis_mem, x], axis=-1)
     X = forward_transform(apply_window(win))
+    if lowpass_bin is not None:
+        bins = jnp.arange(X.shape[-1])[None, :]
+        X = jnp.where(bins < lowpass_bin[:, None], X, 0.0)
     return x, X, compute_band_energy(X)
 
 
@@ -212,7 +233,9 @@ def process_frame(params: Optional[ModelParams], state: DenoiseState,
         vad = jnp.zeros((pcm.shape[0],), jnp.float32)
 
     # Pitch-filter + apply gains to the *previous* frame's spectrum.
-    Xd = pitch_filter(state.delayed_X, state.delayed_P, state.delayed_Ex,
+    delayed_X = _to_complex(state.delayed_X)
+    delayed_P = _to_complex(state.delayed_P)
+    Xd = pitch_filter(delayed_X, delayed_P, state.delayed_Ex,
                       state.delayed_Ep, state.delayed_Exp, g)
     g_capped = jnp.maximum(g, 0.6 * state.lastg)
     lastg = jnp.minimum(1.0, g_capped * (state.delayed_Ex + 1e-3)
@@ -221,7 +244,7 @@ def process_frame(params: Optional[ModelParams], state: DenoiseState,
     Xd = Xd * gf
 
     sil = silence[:, None]
-    X_synth = jnp.where(sil, state.delayed_X, Xd)
+    X_synth = jnp.where(sil, delayed_X, Xd)
     lastg = jnp.where(sil, state.lastg, lastg)
 
     synthesis_mem, out = frame_synthesis(state.synthesis_mem, X_synth)
@@ -230,7 +253,7 @@ def process_frame(params: Optional[ModelParams], state: DenoiseState,
         synthesis_mem=synthesis_mem,
         lastg=lastg,
         rnn=rnn_state,
-        delayed_X=ff.X, delayed_P=ff.P,
+        delayed_X=_to_real_pair(ff.X), delayed_P=_to_real_pair(ff.P),
         delayed_Ex=ff.Ex, delayed_Ep=ff.Ep, delayed_Exp=ff.Exp,
     )
     return new_state, out, vad
