@@ -132,10 +132,11 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     pitch_buf = jnp.concatenate([state.pitch_buf[:, FRAME_SIZE:], x], axis=-1)
 
     ds = pitch_mod.pitch_downsample(pitch_buf)
-    pitch = pitch_mod.pitch_search(ds)
+    bx = pitch_mod.lag_corr_table(ds)     # shared by fine search + doubling
+    pitch = pitch_mod.pitch_search(ds, bx)
     pitch_index = PITCH_MAX_PERIOD - pitch
     T0, gain = pitch_mod.remove_doubling(ds, pitch_index, state.last_period,
-                                         state.last_gain)
+                                         state.last_gain, bx)
 
     # pitch-delayed window p[i] = pitch_buf[PITCH_BUF_SIZE-WINDOW_SIZE-T0+i]
     start = PITCH_BUF_SIZE - WINDOW_SIZE - T0

@@ -18,6 +18,8 @@ MXU instead of the reference's 4-lag-unrolled scalar kernels (pitch.h:51-142).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -169,7 +171,16 @@ def _levinson4(ac):
 # open-loop search
 # ---------------------------------------------------------------------------
 
-def pitch_search(x_lp: jax.Array) -> jax.Array:
+def lag_corr_table(x_lp: jax.Array) -> jax.Array:
+    """bx[s, i] = sum_{j<480} x_lp[s, 384+j] * x_lp[s, i+j] for i = 0..384.
+
+    One grouped-conv correlation shared by the fine pitch search (lags 0..293
+    are exactly its cross-correlations) and remove_doubling (lag t reads
+    bx[384 - t])."""
+    return batched_xcorr(x_lp[:, _X_OFF:_X_OFF + _N2], x_lp, _MAXP2 + 1)
+
+
+def pitch_search(x_lp: jax.Array, bx: Optional[jax.Array] = None) -> jax.Array:
     """x_lp: [S, 864] whitened, decimated pitch buffer.
 
     Returns ``pitch`` (in 48 kHz sample units before the 768-minus flip), i.e.
@@ -191,7 +202,9 @@ def pitch_search(x_lp: jax.Array) -> jax.Array:
     lags = jnp.arange(nl2, dtype=jnp.int32)[None, :]
     cand = (jnp.abs(lags - 2 * bp0[:, None]) <= 2) | \
            (jnp.abs(lags - 2 * bp1[:, None]) <= 2)
-    xc2_full = batched_xcorr(x_lp[:, _X_OFF:_X_OFF + len2], x_lp, nl2)
+    if bx is None:
+        bx = lag_corr_table(x_lp)
+    xc2_full = bx[:, :nl2]
     xc2 = jnp.where(cand, jnp.maximum(-1.0, xc2_full), 0.0)
     fb0, _ = find_best_pitch(xc2, _sliding_syy(x_lp, len2, nl2))
 
@@ -215,19 +228,35 @@ def _pitch_gain(xy, xx, yy):
 
 
 def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
-                    prev_period: jax.Array, prev_gain: jax.Array):
+                    prev_period: jax.Array, prev_gain: jax.Array,
+                    bx: Optional[jax.Array] = None):
     """Batched rnn_remove_doubling (pitch.c:422-528).
 
     x_lp: [S, 864]; pitch_index/prev_period: [S] int32 in 48 kHz units;
     prev_gain: [S].  Returns (new_pitch_index[S] int32, gain[S]).
+
+    TPU note: the reference computes a fresh 480-tap inner product per
+    candidate lag (dual_inner_prod / celt_inner_prod); per-stream dynamic
+    gathers of 480-sample windows are catastrophically slow on TPU, so we
+    precompute the whole lag-0..384 cross-correlation table once with the
+    grouped-conv xcorr (MXU) and turn every candidate evaluation into a scalar
+    table lookup.
     """
     minperiod0 = PITCH_MIN_PERIOD
     T0 = jnp.minimum(pitch_index // 2, _MAXP2 - 1).astype(jnp.int32)
     prev_period = (prev_period // 2).astype(jnp.int32)
 
     x = x_lp                                          # x[j] == x_lp[:, 384+j]
-    xx = jnp.einsum("sj,sj->s", x[:, _X_OFF:], x[:, _X_OFF:])
-    xy = _lagged_dot(x, T0)
+    # xc_table[s, t] = sum_{j<480} x[j] * x[j - t],  t = 0..384
+    if bx is None:
+        bx = lag_corr_table(x_lp)                     # lag i == 384 - t
+    xc_table = bx[:, ::-1]
+
+    def xdot(lag):                                    # [S] int32 -> [S]
+        return _take(xc_table, lag)
+
+    xx = xc_table[:, 0]
+    xy = xdot(T0)
 
     # yy_lookup[i] = sum_{j<480} x[j-i]^2 via prefix sums (clamped >= 0).
     c = jnp.cumsum(jnp.square(x), axis=-1)
@@ -243,20 +272,26 @@ def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
     g = g0
     T = T0
 
+    # All candidate sub-periods depend only on (T0, k): batch the lag table
+    # lookups for the whole k = 2..15 ladder into single gathers.
+    ks = jnp.arange(2, 16, dtype=jnp.int32)[None, :]            # [1, 14]
+    T1s = (2 * T0[:, None] + ks) // (2 * ks)                    # [S, 14]
+    sc = jnp.asarray(_SECOND_CHECK, jnp.int32)[None, 2:]
+    T1bs = (2 * sc * T0[:, None] + ks) // (2 * ks)
+    T1bs = T1bs.at[:, 0].set(
+        jnp.where(T1s[:, 0] + T0 > _MAXP2, T0, T0 + T1s[:, 0]))
+    xy1s = jnp.take_along_axis(xc_table, T1s, axis=-1)
+    xy2s = jnp.take_along_axis(xc_table, T1bs, axis=-1)
+    yy1s = jnp.take_along_axis(yy_lookup, T1s, axis=-1)
+    yy2s = jnp.take_along_axis(yy_lookup, T1bs, axis=-1)
+
     active = jnp.ones_like(T0, dtype=bool)
     for k in range(2, 16):
-        T1 = ((2 * T0 + k) // (2 * k)).astype(jnp.int32)
+        j = k - 2
+        T1 = T1s[:, j]
         active = active & (T1 >= _MINP2)              # `break` (pitch.c:469-470)
-        if k == 2:
-            T1b = jnp.where(T1 + T0 > _MAXP2, T0, T0 + T1)
-        else:
-            T1b = ((2 * _SECOND_CHECK[k] * T0 + k) // (2 * k)).astype(jnp.int32)
-        T1c = jnp.where(active, T1, 0)                # keep gathers in range
-        T1bc = jnp.where(active, T1b, 0)
-        xy1 = _lagged_dot(x, T1c)
-        xy2 = _lagged_dot(x, T1bc)
-        xy_k = 0.5 * (xy1 + xy2)
-        yy_k = 0.5 * (_take(yy_lookup, T1c) + _take(yy_lookup, T1bc))
+        xy_k = 0.5 * (xy1s[:, j] + xy2s[:, j])
+        yy_k = 0.5 * (yy1s[:, j] + yy2s[:, j])
         g1 = _pitch_gain(xy_k, xx, yy_k)
         d = jnp.abs(T1 - prev_period)
         cont = jnp.where(d <= 1, prev_gain,
@@ -276,7 +311,9 @@ def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
     best_xy = jnp.maximum(0.0, best_xy)
     pg = jnp.where(best_yy <= best_xy, 1.0, best_xy / (best_yy + 1.0))
 
-    xcorr = [_lagged_dot(x, jnp.clip(T + kk - 1, 0, _MAXP2)) for kk in range(3)]
+    lags3 = jnp.clip(T[:, None] + jnp.arange(-1, 2)[None, :], 0, _MAXP2)
+    xcorr3 = jnp.take_along_axis(xc_table, lags3, axis=-1)
+    xcorr = [xcorr3[:, 0], xcorr3[:, 1], xcorr3[:, 2]]
     offset = jnp.where((xcorr[2] - xcorr[0]) > 0.7 * (xcorr[1] - xcorr[0]), 1,
                        jnp.where((xcorr[0] - xcorr[2]) > 0.7 * (xcorr[1] - xcorr[2]),
                                  -1, 0)).astype(jnp.int32)
