@@ -41,7 +41,7 @@ def main():
     T = 100                       # 1 s of audio per dispatch
     best = 0.0
     best_cfg = None
-    for S in (256, 1024, 2048, 4096):
+    for S in (1024, 2048, 4096):
         try:
             state = init_state(S)
             pcm = jnp.asarray(
@@ -53,9 +53,12 @@ def main():
             jax.block_until_ready(out)
             compile_and_first = time.perf_counter() - t0
 
+            # Chain the state through iterations: the computation differs
+            # every call, so no executable/result caching can fake the
+            # timing, and it is exactly the steady-state streaming pattern.
             n_iter = 3
+            st = state2
             t0 = time.perf_counter()
-            st = state
             for _ in range(n_iter):
                 st, out, vad = fn(st, pcm)
             jax.block_until_ready(out)

@@ -22,11 +22,13 @@ import jax.numpy as jnp
 
 from .config import (DEFAULT_MODEL, DEFAULT_RUNTIME, FRAME_SIZE, FREQ_SIZE,
                      ModelConfig, NB_BANDS, NB_FEATURES, PITCH_BUF_SIZE,
-                     PITCH_MAX_PERIOD, RuntimeConfig, SILENCE_THRESHOLD,
+                     PITCH_MAX_PERIOD, PITCH_MIN_PERIOD, RuntimeConfig,
+                     SILENCE_THRESHOLD,
                      WINDOW_SIZE)
 from . import tables
 from .dsp import biquad as biquad_mod
 from .dsp import pitch as pitch_mod
+from .dsp.gather import take_window
 from .dsp.transform import (apply_window, compute_band_corr,
                             compute_band_energy, dct, forward_transform,
                             frame_synthesis, interp_band_gain)
@@ -139,9 +141,10 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
                                          state.last_gain, bx)
 
     # pitch-delayed window p[i] = pitch_buf[PITCH_BUF_SIZE-WINDOW_SIZE-T0+i]
+    # (one-hot shifted-sum window extraction — element gathers are slow on TPU)
     start = PITCH_BUF_SIZE - WINDOW_SIZE - T0
-    p = jax.vmap(lambda b, s: jax.lax.dynamic_slice(b, (s,), (WINDOW_SIZE,)))(
-        pitch_buf, start)
+    p = take_window(pitch_buf, start, WINDOW_SIZE,
+                    max_start=PITCH_BUF_SIZE - WINDOW_SIZE - PITCH_MIN_PERIOD)
     P = forward_transform(apply_window(p))
     Ep = compute_band_energy(P)
     Exp_raw = compute_band_corr(X, P)
