@@ -61,8 +61,12 @@ def biquad(x: jax.Array, mem: jax.Array, b, a):
     S, N = x.shape
     K, rowA, SA, SB = map(jnp.asarray, _biquad_kernels(b, a, N))
     x = x.astype(jnp.float32)
-    y = x + jnp.dot(x, K.T, preferred_element_type=jnp.float32) \
-          + jnp.dot(mem, rowA.T, preferred_element_type=jnp.float32)
-    new_mem = jnp.dot(mem, SA.T, preferred_element_type=jnp.float32) \
-            + jnp.dot(x, SB, preferred_element_type=jnp.float32)
+    y = x + jnp.dot(x, K.T, precision="float32",
+                    preferred_element_type=jnp.float32) \
+          + jnp.dot(mem, rowA.T, precision="float32",
+                    preferred_element_type=jnp.float32)
+    new_mem = jnp.dot(mem, SA.T, precision="float32",
+                      preferred_element_type=jnp.float32) \
+            + jnp.dot(x, SB, precision="float32",
+                      preferred_element_type=jnp.float32)
     return y, new_mem

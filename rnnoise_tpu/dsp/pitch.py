@@ -52,6 +52,7 @@ def batched_xcorr(x: jax.Array, y: jax.Array, nlags: int) -> jax.Array:
         lhs, rhs, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=S,
+        precision="float32",
         preferred_element_type=jnp.float32,
     )
     return out[0]                                    # [S, nlags]
@@ -113,7 +114,8 @@ def pitch_downsample(pitch_buf: jax.Array) -> jax.Array:
 
     # Order-4 autocorrelation (rnn_autocorr fast path + tail == plain autocorr).
     n = _DS_LEN
-    ac = [jnp.einsum("sj,sj->s", x_lp[:, : n - k], x_lp[:, k:]) for k in range(5)]
+    ac = [jnp.einsum("sj,sj->s", x_lp[:, : n - k], x_lp[:, k:],
+                     precision="float32") for k in range(5)]
     ac[0] = ac[0] * 1.0001
     for i in range(1, 5):
         ac[i] = ac[i] - ac[i] * (0.008 * i) ** 2     # lag windowing

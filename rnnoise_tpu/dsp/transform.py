@@ -16,11 +16,51 @@ with the reference's scaling conventions:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import tables
 from ..config import FRAME_SIZE, FREQ_SIZE, WINDOW_SIZE
+
+# DFT evaluation mode: XLA's TPU FFT is surprisingly slow for batched 960-pt
+# transforms (~0.45 ms per forward+inverse pair at S=1024), so on TPU the
+# transforms run as dense DFT matmuls on the MXU instead.  "fft" forces the
+# native FFT (used on CPU where it is faster and for bit-parity tests).
+_DFT_MODE = "auto"          # "auto" | "fft" | "matmul"
+
+
+def set_dft_mode(mode: str) -> None:
+    global _DFT_MODE
+    assert mode in ("auto", "fft", "matmul")
+    _DFT_MODE = mode
+
+
+def _use_matmul() -> bool:
+    if _DFT_MODE == "matmul":
+        return True
+    if _DFT_MODE == "fft":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrices():
+    n = np.arange(WINDOW_SIZE)[:, None]
+    k = np.arange(FREQ_SIZE)[None, :]
+    ang = -2.0 * np.pi * n * k / WINDOW_SIZE
+    fwd = np.concatenate([np.cos(ang), np.sin(ang)], axis=1) / WINDOW_SIZE
+    # inverse (unscaled IDFT of the conjugate-symmetric extension):
+    # x[n] = sum_k w_k * (re_k cos(2pi k n/N) - im_k sin(2pi k n/N)),
+    # w_k = 1 for k in {0, N/2}, else 2.
+    w = np.full(FREQ_SIZE, 2.0)
+    w[0] = w[FREQ_SIZE - 1] = 1.0
+    ang_i = 2.0 * np.pi * k.T * n.T / WINDOW_SIZE        # [FREQ, WINDOW]
+    inv = np.concatenate([w[:, None] * np.cos(ang_i),
+                          -w[:, None] * np.sin(ang_i)], axis=0)
+    return fwd.astype(np.float32), inv.astype(np.float32)
 
 
 def apply_window(x: jax.Array) -> jax.Array:
@@ -30,12 +70,23 @@ def apply_window(x: jax.Array) -> jax.Array:
 
 def forward_transform(x: jax.Array) -> jax.Array:
     """x: [..., WINDOW_SIZE] real -> [..., FREQ_SIZE] complex64, scaled 1/N."""
-    X = jnp.fft.rfft(x.astype(jnp.float32), n=WINDOW_SIZE, axis=-1)
+    x = x.astype(jnp.float32)
+    if _use_matmul():
+        fwd, _ = _dft_matrices()
+        ri = jnp.dot(x, jnp.asarray(fwd), precision="float32",
+                     preferred_element_type=jnp.float32)
+        return jax.lax.complex(ri[..., :FREQ_SIZE], ri[..., FREQ_SIZE:])
+    X = jnp.fft.rfft(x, n=WINDOW_SIZE, axis=-1)
     return (X / WINDOW_SIZE).astype(jnp.complex64)
 
 
 def inverse_transform(X: jax.Array) -> jax.Array:
     """X: [..., FREQ_SIZE] complex -> [..., WINDOW_SIZE] real, scaled N."""
+    if _use_matmul():
+        _, inv = _dft_matrices()
+        ri = jnp.concatenate([jnp.real(X), jnp.imag(X)], axis=-1)
+        return jnp.dot(ri, jnp.asarray(inv), precision="float32",
+                       preferred_element_type=jnp.float32)
     x = jnp.fft.irfft(X, n=WINDOW_SIZE, axis=-1)
     return (x * WINDOW_SIZE).astype(jnp.float32)
 
@@ -43,13 +94,15 @@ def inverse_transform(X: jax.Array) -> jax.Array:
 def compute_band_energy(X: jax.Array) -> jax.Array:
     """X: [..., FREQ_SIZE] complex -> [..., NB_BANDS] band energies."""
     e = jnp.real(X) ** 2 + jnp.imag(X) ** 2
-    return e @ jnp.asarray(tables.band_matrix()).T
+    return jnp.dot(e, jnp.asarray(tables.band_matrix()).T,
+                   precision="float32")
 
 
 def compute_band_corr(X: jax.Array, P: jax.Array) -> jax.Array:
     """Triangular-banded Re{X · conj(P)} (src/denoise.c:115-138)."""
     c = jnp.real(X) * jnp.real(P) + jnp.imag(X) * jnp.imag(P)
-    return c @ jnp.asarray(tables.band_matrix()).T
+    return jnp.dot(c, jnp.asarray(tables.band_matrix()).T,
+                   precision="float32")
 
 
 def interp_band_gain(band_g: jax.Array) -> jax.Array:
@@ -57,12 +110,14 @@ def interp_band_gain(band_g: jax.Array) -> jax.Array:
 
     Bins 401..480 come out zero (20 kHz brick wall — see tables.interp_matrix).
     """
-    return band_g @ jnp.asarray(tables.interp_matrix()).T
+    return jnp.dot(band_g, jnp.asarray(tables.interp_matrix()).T,
+                   precision="float32")
 
 
 def dct(x: jax.Array) -> jax.Array:
     """32-point DCT-II with the reference's legacy sqrt(2/22) scaling."""
-    return x @ jnp.asarray(tables.dct_matrix()).T
+    return jnp.dot(x, jnp.asarray(tables.dct_matrix()).T,
+                   precision="float32")
 
 
 def frame_analysis(analysis_mem: jax.Array, pcm: jax.Array):

@@ -88,7 +88,8 @@ def linear(p: LinearParams, x: jax.Array, quantized: bool) -> jax.Array:
             preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * p.scale[None, :]
     else:
-        out = jnp.dot(x, p.weights_f32, preferred_element_type=jnp.float32)
+        out = jnp.dot(x, p.weights_f32, precision="float32",
+                      preferred_element_type=jnp.float32)
     if p.bias is not None:
         out = out + p.bias[None, :]
     if p.diag is not None:

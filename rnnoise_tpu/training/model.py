@@ -62,7 +62,7 @@ def _conv_valid(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     time-major oldest-first ([x_{t-2}, x_{t-1}, x_t] per output frame)."""
     T = x.shape[1]
     xw = jnp.concatenate([x[:, 0:T - 2], x[:, 1:T - 1], x[:, 2:T]], axis=-1)
-    return jnp.tanh(xw @ w + b)
+    return jnp.tanh(jnp.dot(xw, w, precision="float32") + b)
 
 
 def _gru_seq(p: Dict, x: jax.Array, h0: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -70,10 +70,10 @@ def _gru_seq(p: Dict, x: jax.Array, h0: jax.Array) -> Tuple[jax.Array, jax.Array
 
     Gate order z, r, n:  h' = z*h + (1-z)*tanh(xn + r*hn)."""
     N = h0.shape[-1]
-    xz = x @ p["w_in"] + p["b_in"]                   # [B, T, 3N] (precomputed)
+    xz = jnp.dot(x, p["w_in"], precision="float32") + p["b_in"]                   # [B, T, 3N] (precomputed)
 
     def step(h, xzt):
-        rec = h @ p["w_rec"] + p["b_rec"]
+        rec = jnp.dot(h, p["w_rec"], precision="float32") + p["b_rec"]
         z = jax.nn.sigmoid(xzt[:, :N] + rec[:, :N])
         r = jax.nn.sigmoid(xzt[:, N:2 * N] + rec[:, N:2 * N])
         n = jnp.tanh(xzt[:, 2 * N:] + r * rec[:, 2 * N:])
@@ -100,8 +100,10 @@ def forward(params: Dict, features: jax.Array,
     g2, h2 = _gru_seq(params["gru2"], g1, states[1])
     g3, h3 = _gru_seq(params["gru3"], g2, states[2])
     cat = jnp.concatenate([c2, g1, g2, g3], axis=-1)
-    gain = jax.nn.sigmoid(cat @ params["dense_out"]["w"]
+    gain = jax.nn.sigmoid(jnp.dot(cat, params["dense_out"]["w"],
+                                  precision="float32")
                           + params["dense_out"]["b"])
-    vad = jax.nn.sigmoid(cat @ params["vad_dense"]["w"]
+    vad = jax.nn.sigmoid(jnp.dot(cat, params["vad_dense"]["w"],
+                                 precision="float32")
                          + params["vad_dense"]["b"])
     return gain, vad, (h1, h2, h3)

@@ -104,3 +104,23 @@ def test_biquad_multiframe_stability(oracle_int8, rng):
         y_j, mem_j = biquad_mod.biquad(jnp.asarray(x)[None, :], mem_j, b, a)
         y_c, mem_c = oracle_int8.biquad(x, mem_c, b, a)
         np.testing.assert_allclose(np.asarray(y_j)[0], y_c, atol=2.0)
+
+
+def test_dft_matmul_mode_matches_fft(oracle_int8, rng):
+    """The MXU DFT-matmul path (default on TPU) matches the FFT path."""
+    from rnnoise_tpu.dsp import transform as tr2
+    x = (3000 * rng.standard_normal(WINDOW_SIZE)).astype(np.float32)
+    try:
+        tr2.set_dft_mode("matmul")
+        Xm = np.asarray(tr2.forward_transform(jnp.asarray(x)))
+        tr2.set_dft_mode("fft")
+        Xf = np.asarray(tr2.forward_transform(jnp.asarray(x)))
+        np.testing.assert_allclose(Xm, Xf, atol=3e-6 * np.abs(Xf).max())
+        X = Xf.astype(np.complex64)
+        tr2.set_dft_mode("matmul")
+        ym = np.asarray(tr2.inverse_transform(jnp.asarray(X)))
+        tr2.set_dft_mode("fft")
+        yf = np.asarray(tr2.inverse_transform(jnp.asarray(X)))
+        np.testing.assert_allclose(ym, yf, atol=3e-6 * np.abs(yf).max())
+    finally:
+        tr2.set_dft_mode("auto")
