@@ -38,3 +38,18 @@ def take_window(x: jax.Array, start: jax.Array, length: int,
     for ri in range(block):
         out = out + ohr[:, ri:ri + 1] * C[:, ri:ri + length]
     return out
+
+
+def onehot_take(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[s, ...] = table[s, idx[s, ...]] without a gather.
+
+    TPU gathers cost ~0.15 ms per call at S=1024 even for a handful of
+    elements; a one-hot masked reduction is dense VPU work and fuses.
+    table: [S, L]; idx: [S] or [S, M] int.
+    """
+    L = table.shape[-1]
+    if idx.ndim == 1:
+        oh = jax.nn.one_hot(idx, L, dtype=table.dtype)        # [S, L]
+        return jnp.sum(oh * table, axis=-1)
+    oh = jax.nn.one_hot(idx, L, dtype=table.dtype)            # [S, M, L]
+    return jnp.einsum("sml,sl->sm", oh, table)

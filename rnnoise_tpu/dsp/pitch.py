@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..config import (PITCH_BUF_SIZE, PITCH_FRAME_SIZE, PITCH_MAX_PERIOD,
                       PITCH_MIN_PERIOD)
+from .gather import onehot_take
 
 _DS_LEN = PITCH_BUF_SIZE // 2          # 864
 _X_OFF = PITCH_MAX_PERIOD // 2         # 384
@@ -84,8 +85,8 @@ def find_best_pitch(xcorr: jax.Array, syy: jax.Array):
 
 
 def _take(a: jax.Array, idx: jax.Array) -> jax.Array:
-    """a: [S, L], idx: [S] -> a[s, idx[s]]  (clamped)."""
-    return jnp.take_along_axis(a, idx[:, None], axis=-1)[:, 0]
+    """a: [S, L], idx: [S] -> a[s, idx[s]] via one-hot (gathers are slow)."""
+    return onehot_take(a, idx)
 
 
 def _lagged_dot(ds: jax.Array, lag: jax.Array) -> jax.Array:
@@ -263,10 +264,10 @@ def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
     # yy_lookup[i] = sum_{j<480} x[j-i]^2 via prefix sums (clamped >= 0).
     c = jnp.cumsum(jnp.square(x), axis=-1)
     c = jnp.concatenate([jnp.zeros_like(c[:, :1]), c], axis=-1)
-    i = jnp.arange(_MAXP2 + 1)[None, :]
+    # yy_lookup[i] = c[864 - i] - c[384 - i]: static reversed slices
     yy_lookup = jnp.maximum(0.0,
-                            jnp.take_along_axis(c, _DS_LEN - i, axis=-1) -
-                            jnp.take_along_axis(c, _X_OFF - i, axis=-1))
+                            c[:, _DS_LEN - _MAXP2:_DS_LEN + 1][:, ::-1] -
+                            c[:, :_MAXP2 + 1][:, ::-1])
 
     yy = _take(yy_lookup, T0)
     best_xy, best_yy = xy, yy
@@ -282,10 +283,10 @@ def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
     T1bs = (2 * sc * T0[:, None] + ks) // (2 * ks)
     T1bs = T1bs.at[:, 0].set(
         jnp.where(T1s[:, 0] + T0 > _MAXP2, T0, T0 + T1s[:, 0]))
-    xy1s = jnp.take_along_axis(xc_table, T1s, axis=-1)
-    xy2s = jnp.take_along_axis(xc_table, T1bs, axis=-1)
-    yy1s = jnp.take_along_axis(yy_lookup, T1s, axis=-1)
-    yy2s = jnp.take_along_axis(yy_lookup, T1bs, axis=-1)
+    xy1s = onehot_take(xc_table, T1s)
+    xy2s = onehot_take(xc_table, T1bs)
+    yy1s = onehot_take(yy_lookup, T1s)
+    yy2s = onehot_take(yy_lookup, T1bs)
 
     active = jnp.ones_like(T0, dtype=bool)
     for k in range(2, 16):
@@ -314,7 +315,7 @@ def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
     pg = jnp.where(best_yy <= best_xy, 1.0, best_xy / (best_yy + 1.0))
 
     lags3 = jnp.clip(T[:, None] + jnp.arange(-1, 2)[None, :], 0, _MAXP2)
-    xcorr3 = jnp.take_along_axis(xc_table, lags3, axis=-1)
+    xcorr3 = onehot_take(xc_table, lags3)
     xcorr = [xcorr3[:, 0], xcorr3[:, 1], xcorr3[:, 2]]
     offset = jnp.where((xcorr[2] - xcorr[0]) > 0.7 * (xcorr[1] - xcorr[0]), 1,
                        jnp.where((xcorr[0] - xcorr[2]) > 0.7 * (xcorr[1] - xcorr[2]),
