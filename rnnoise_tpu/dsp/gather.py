@@ -1,11 +1,15 @@
-"""Per-stream dynamic window extraction without element gathers.
+"""Per-stream dynamic indexing without TPU gathers.
 
-``vmap(dynamic_slice)`` lowers to an element-level gather, which costs ~1.3 ms
-for [1024, 960] windows on TPU — half a frame budget.  This module extracts
-per-stream windows with a two-level one-hot shifted-sum instead: decompose the
-start offset as ``start = B*q + r`` and select with masked shifted adds at
-block then sample granularity.  All operations are dense VPU work
-(~0.1 GFLOP at S=1024), two orders of magnitude faster than the gather.
+TPU gathers are pathologically slow (~0.15 ms per call at S=1024 even for a
+handful of elements per stream), so this module provides two dense
+replacements:
+
+  * :func:`take_window` — extract a per-stream window ``x[s, start[s]:+L]``
+    as two grouped convolutions against one-hot filters (a dilated coarse
+    step at block granularity, then a dense fine step).  Convolutions keep
+    the whole computation in one fusion instead of L memory-bound shifted
+    adds.
+  * :func:`onehot_take` — scalar/table lookups as one-hot masked reductions.
 """
 
 from __future__ import annotations
@@ -14,12 +18,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _grouped_corr(x: jax.Array, filt: jax.Array, out_len: int,
+                  dilation: int = 1) -> jax.Array:
+    """out[s, i] = sum_j filt[s, j] * x[s, i + j*dilation]   for i < out_len."""
+    S = x.shape[0]
+    lhs = x[None, :, :]
+    rhs = filt[:, None, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=S,
+        precision="float32",
+        preferred_element_type=jnp.float32,
+    )
+    return out[0, :, :out_len]
+
+
 def take_window(x: jax.Array, start: jax.Array, length: int,
                 max_start: int, block: int = 64) -> jax.Array:
     """out[s, i] = x[s, start[s] + i]  for i < length.
 
     x: [S, N]; start: [S] int in [0, max_start]; requires
-    max_start + length <= N.
+    max_start + length <= N.  Exact (one-hot selection).
     """
     S, N = x.shape
     nq = max_start // block + 1
@@ -27,24 +48,18 @@ def take_window(x: jax.Array, start: jax.Array, length: int,
     r = start - q * block
 
     coarse_len = length + block
-    xp = jnp.pad(x, ((0, 0), (0, block)))
-    ohq = jax.nn.one_hot(q, nq, dtype=x.dtype)            # [S, nq]
-    C = jnp.zeros((S, coarse_len), x.dtype)
-    for qi in range(nq):
-        C = C + ohq[:, qi:qi + 1] * xp[:, qi * block: qi * block + coarse_len]
+    need = (nq - 1) * block + coarse_len
+    xp = x if need <= N else jnp.pad(x, ((0, 0), (0, need - N)))
+    ohq = jax.nn.one_hot(q, nq, dtype=x.dtype)
+    C = _grouped_corr(xp, ohq, coarse_len, dilation=block)
 
-    ohr = jax.nn.one_hot(r, block, dtype=x.dtype)         # [S, block]
-    out = jnp.zeros((S, length), x.dtype)
-    for ri in range(block):
-        out = out + ohr[:, ri:ri + 1] * C[:, ri:ri + length]
-    return out
+    ohr = jax.nn.one_hot(r, block, dtype=x.dtype)
+    return _grouped_corr(C, ohr, length)
 
 
 def onehot_take(table: jax.Array, idx: jax.Array) -> jax.Array:
     """out[s, ...] = table[s, idx[s, ...]] without a gather.
 
-    TPU gathers cost ~0.15 ms per call at S=1024 even for a handful of
-    elements; a one-hot masked reduction is dense VPU work and fuses.
     table: [S, L]; idx: [S] or [S, M] int.
     """
     L = table.shape[-1]
