@@ -1,0 +1,96 @@
+"""Streaming engine: native stream pool + batched device compute.
+
+The scale-out runtime of SURVEY.md §7.8: N streams attach/detach into padded
+batch slots (no recompilation — the batch shape is fixed and inactive slots
+are masked), the native side assembles contiguous [S, T, 480] frames, the
+device advances all streams in one jitted dispatch, and results scatter back
+into per-stream output rings.
+
+Per-frame active masking: slots that produced fewer than T frames this tick
+simply get zeros processed through their slot; their DenoiseState is rolled
+back afterwards so starvation never corrupts stream state.  Freshly attached
+slots get their device state re-initialised via the reset mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import RNNoise
+from ..config import DEFAULT_MODEL, DEFAULT_RUNTIME, FRAME_SIZE, RuntimeConfig
+from ..denoise import DenoiseState, init_state, process_frames, reset_streams
+from .native import StreamPool
+
+
+class StreamingEngine:
+    def __init__(self, n_slots: int, model: Optional[RNNoise] = None,
+                 chunk_frames: int = 8,
+                 runtime: RuntimeConfig = DEFAULT_RUNTIME,
+                 ring_frames: int = 256):
+        self.pool = StreamPool(n_slots, ring_frames)
+        self.n_slots = n_slots
+        self.chunk_frames = chunk_frames
+        config = model.config if model is not None else DEFAULT_MODEL
+        self.state = init_state(n_slots, config)
+        params = model.params if model is not None else None
+
+        @jax.jit
+        def _tick(state, pcm, counts, reset_mask):
+            state = reset_streams(state, reset_mask)
+            prev = state
+            state, out, vad = process_frames(params, state, pcm, runtime)
+            # Roll back streams that had no full chunk this tick (starved or
+            # inactive): their zero-padded frames must not advance state.
+            full = counts >= pcm.shape[1]
+            state = jax.tree.map(
+                lambda new, old: jnp.where(
+                    full.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+                state, prev)
+            return state, out, vad
+
+        self._tick = _tick
+
+    # -- stream management -------------------------------------------------
+    def attach(self) -> int:
+        """Add a stream; returns its slot id (or -1 if the pool is full)."""
+        return self.pool.attach()
+
+    def detach(self, slot: int) -> None:
+        self.pool.detach(slot)
+
+    def push(self, slot: int, pcm_i16: np.ndarray) -> int:
+        return self.pool.push(slot, pcm_i16)
+
+    def pull(self, slot: int, n: int) -> np.ndarray:
+        return self.pool.pull(slot, n)
+
+    def available(self, slot: int) -> int:
+        return self.pool.available(slot)
+
+    # -- the processing tick ----------------------------------------------
+    def tick(self) -> int:
+        """Assemble one chunk, process it on device, commit the results.
+
+        Returns the number of streams that advanced.  Streams only advance in
+        whole chunk_frames quanta (push at least chunk_frames*480 samples)."""
+        T = self.chunk_frames
+        batch, counts, reset = self.pool.assemble(T)
+        # only process slots with a full chunk; return the partial frames
+        partial = (counts > 0) & (counts < T)
+        if partial.any():
+            # push partial data back by re-queueing (simplest: treat as
+            # starved — re-push the popped samples in order)
+            for s in np.nonzero(partial)[0]:
+                n = int(counts[s]) * FRAME_SIZE
+                self.pool.push(int(s), batch[s].reshape(-1)[:n].astype(np.int16))
+                counts[s] = 0
+        self.state, out, _vad = self._tick(
+            self.state, jnp.asarray(batch),
+            jnp.asarray(counts), jnp.asarray(reset.astype(bool)))
+        self.pool.commit(T, np.asarray(out), counts)
+        return int((counts >= T).sum())

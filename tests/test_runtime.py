@@ -1,0 +1,93 @@
+"""Native stream pool + streaming engine tests."""
+
+import numpy as np
+import pytest
+
+from rnnoise_tpu.config import FRAME_SIZE
+
+
+def test_pool_ring_roundtrip():
+    from rnnoise_tpu.runtime.native import StreamPool
+    pool = StreamPool(4, ring_frames=8)
+    s = pool.attach()
+    assert s == 0
+    pcm = (np.arange(960) - 480).astype(np.int16)
+    assert pool.push(s, pcm) == 960
+    batch, counts, reset = pool.assemble(2)
+    assert counts[0] == 2 and reset[0] == 1
+    assert counts[1] == 0
+    np.testing.assert_array_equal(batch[0].reshape(-1), pcm.astype(np.float32))
+    pool.commit(2, batch, counts)
+    out = pool.pull(s, 960)
+    np.testing.assert_array_equal(out, pcm)
+    # second assemble: no reset flag, no data
+    batch, counts, reset = pool.assemble(2)
+    assert reset[0] == 0 and counts[0] == 0
+
+
+def test_pool_attach_detach():
+    from rnnoise_tpu.runtime.native import StreamPool
+    pool = StreamPool(2)
+    a, b = pool.attach(), pool.attach()
+    assert {a, b} == {0, 1}
+    assert pool.attach() == -1
+    pool.detach(a)
+    assert pool.attach() == a
+
+
+def test_blob_validate_native(weights_blob):
+    from rnnoise_tpu.runtime.native import blob_validate
+    names = blob_validate(weights_blob)
+    assert "conv1_bias" in names
+    assert "gru1_recurrent_weights_idx" in names
+    with pytest.raises(ValueError):
+        blob_validate(b"JUNK" + weights_blob[4:])
+
+
+def test_streaming_engine_end_to_end(model_params):
+    from rnnoise_tpu.api import RNNoise
+    from rnnoise_tpu.runtime.engine import StreamingEngine
+    from rnnoise_tpu.denoise import init_state, process_frames
+    from tests.conftest import speechlike
+    import jax.numpy as jnp
+
+    model = RNNoise(model_params)
+    eng = StreamingEngine(4, model, chunk_frames=2)
+    s0 = eng.attach()
+    s1 = eng.attach()
+    rng = np.random.default_rng(0)
+    sig0 = speechlike(rng, 8 * FRAME_SIZE).astype(np.int16)
+    sig1 = (300 * rng.standard_normal(8 * FRAME_SIZE)).astype(np.int16)
+    eng.push(s0, sig0)
+    eng.push(s1, sig1)
+    total0 = b""
+    for _ in range(4):
+        eng.tick()
+    out0 = eng.pull(s0, 8 * FRAME_SIZE)
+    assert out0.shape[0] == 8 * FRAME_SIZE
+
+    # reference: plain batched pipeline on the same signal
+    st = init_state(1)
+    st, ref, _ = process_frames(
+        model_params, st,
+        jnp.asarray(sig0.astype(np.float32).reshape(1, 8, FRAME_SIZE)))
+    ref = np.clip(np.round(np.asarray(ref).reshape(-1)), -32768, 32767)
+    np.testing.assert_allclose(out0.astype(np.float64), ref, atol=1.5)
+
+
+def test_streaming_engine_starved_stream_state_freeze(model_params):
+    """A stream with no queued audio must not advance its device state."""
+    from rnnoise_tpu.api import RNNoise
+    from rnnoise_tpu.runtime.engine import StreamingEngine
+
+    model = RNNoise(model_params)
+    eng = StreamingEngine(2, model, chunk_frames=2)
+    s0 = eng.attach()
+    rng = np.random.default_rng(1)
+    pcm = (3000 * rng.standard_normal(4 * FRAME_SIZE)).astype(np.int16)
+    eng.push(s0, pcm)
+    eng.tick()
+    st_before = np.asarray(eng.state.pitch_buf[1])      # inactive slot 1
+    eng.tick()
+    st_after = np.asarray(eng.state.pitch_buf[1])
+    np.testing.assert_array_equal(st_before, st_after)
