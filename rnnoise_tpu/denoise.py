@@ -31,7 +31,8 @@ from .dsp import pitch as pitch_mod
 from .dsp.gather import take_window
 from .dsp.transform import (apply_window, compute_band_corr,
                             compute_band_energy, dct, forward_transform,
-                            frame_synthesis, interp_band_gain)
+                            frame_synthesis, interp_band_gain,
+                            windowed_forward_transform)
 from .models.rnn import ModelParams, RNNState, compute_rnn, init_rnn_state
 
 
@@ -145,7 +146,7 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     start = PITCH_BUF_SIZE - WINDOW_SIZE - T0
     p = take_window(pitch_buf, start, WINDOW_SIZE,
                     max_start=PITCH_BUF_SIZE - WINDOW_SIZE - PITCH_MIN_PERIOD)
-    P = forward_transform(apply_window(p))
+    P = windowed_forward_transform(p)
     Ep = compute_band_energy(P)
     Exp_raw = compute_band_corr(X, P)
     Exp = Exp_raw / jnp.sqrt(0.001 + Ex * Ep)
@@ -180,7 +181,7 @@ def _to_real_pair(X):
 
 def _frame_analysis(analysis_mem, x, lowpass_bin=None):
     win = jnp.concatenate([analysis_mem, x], axis=-1)
-    X = forward_transform(apply_window(win))
+    X = windowed_forward_transform(win)
     if lowpass_bin is not None:
         bins = jnp.arange(X.shape[-1])[None, :]
         X = jnp.where(bins < lowpass_bin[:, None], X, 0.0)

@@ -120,6 +120,36 @@ def dct(x: jax.Array) -> jax.Array:
                    precision="float32")
 
 
+@functools.lru_cache(maxsize=None)
+def _windowed_dft_matrices():
+    """DFT matrices with the Vorbis window folded into the rows — saves the
+    separate [S, 960] windowing passes in analysis and synthesis."""
+    fwd, inv = _dft_matrices()
+    w = tables.full_window().astype(np.float32)
+    return (w[:, None] * fwd).astype(np.float32), \
+           (inv * w[None, :]).astype(np.float32)
+
+
+def windowed_forward_transform(x: jax.Array) -> jax.Array:
+    """forward_transform(apply_window(x)) in one matmul."""
+    if _use_matmul():
+        fwd, _ = _windowed_dft_matrices()
+        ri = jnp.dot(x.astype(jnp.float32), jnp.asarray(fwd),
+                     precision="float32", preferred_element_type=jnp.float32)
+        return jax.lax.complex(ri[..., :FREQ_SIZE], ri[..., FREQ_SIZE:])
+    return forward_transform(apply_window(x))
+
+
+def windowed_inverse_transform(X: jax.Array) -> jax.Array:
+    """apply_window(inverse_transform(X)) in one matmul."""
+    if _use_matmul():
+        _, inv = _windowed_dft_matrices()
+        ri = jnp.concatenate([jnp.real(X), jnp.imag(X)], axis=-1)
+        return jnp.dot(ri, jnp.asarray(inv), precision="float32",
+                       preferred_element_type=jnp.float32)
+    return apply_window(inverse_transform(X))
+
+
 def frame_analysis(analysis_mem: jax.Array, pcm: jax.Array):
     """One 50 %-overlap analysis step (src/denoise.c:332-345).
 
@@ -127,7 +157,7 @@ def frame_analysis(analysis_mem: jax.Array, pcm: jax.Array):
     Returns (new_analysis_mem, X[S, FREQ_SIZE], Ex[S, NB_BANDS]).
     """
     x = jnp.concatenate([analysis_mem, pcm], axis=-1)
-    X = forward_transform(apply_window(x))
+    X = windowed_forward_transform(x)
     Ex = compute_band_energy(X)
     return pcm, X, Ex
 
@@ -138,6 +168,9 @@ def frame_synthesis(synthesis_mem: jax.Array, Y: jax.Array):
     synthesis_mem: [S, FRAME_SIZE];  Y: [S, FREQ_SIZE] complex.
     Returns (new_synthesis_mem, out_pcm[S, FRAME_SIZE]).
     """
-    x = apply_window(inverse_transform(Y))
+    x = windowed_inverse_transform(Y)
+    # Barrier: both halves of x feed different outputs; without it XLA clones
+    # the whole inverse matmul into each consumer fusion.
+    x = jax.lax.optimization_barrier(x)
     out = x[..., :FRAME_SIZE] + synthesis_mem
     return x[..., FRAME_SIZE:], out

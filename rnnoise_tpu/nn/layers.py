@@ -131,6 +131,42 @@ def conv1d_step(p: LinearParams, mem: jax.Array, x: jax.Array,
     return tmp[:, input_size:], out
 
 
+def glu(p: LinearParams, x: jax.Array, quantized: bool) -> jax.Array:
+    """Gated linear unit (compute_glu, nnet.c:96-109): x * sigmoid(W x).
+
+    Unused by the RNNoise graph (kept for Opus-model sharing parity)."""
+    act = linear(p, x, quantized)
+    return x * sigmoid_approx(act)
+
+
+def conv2d_step(weights: jax.Array, bias: Optional[jax.Array],
+                mem: jax.Array, x: jax.Array, activation: str,
+                approx: bool = True):
+    """Streaming Conv2d over (time, height) with a carried (ktime-1)-frame
+    input memory (compute_conv2d, nnet_arch.h:225-251).  Unused by the
+    RNNoise graph; provided for NN-runtime completeness.
+
+    weights: [out_ch, in_ch, ktime, kheight]; x: [S, in_ch, H + kheight - 1];
+    mem: [S, ktime-1, in_ch, H + kheight - 1].
+    Returns (new_mem, out [S, out_ch, H]).
+    """
+    out_ch, in_ch, ktime, kheight = weights.shape
+    buf = jnp.concatenate([mem, x[:, None]], axis=1)   # [S, ktime, C, Hin]
+    lhs = buf.reshape(buf.shape[0], ktime * in_ch, -1)
+    w = weights.transpose(0, 2, 1, 3).reshape(out_ch, ktime * in_ch, kheight)
+    out = jax.lax.conv_general_dilated(
+        lhs, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision="float32", preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias[None, :, None]
+    if activation == "tanh":
+        out = _tanh(out, approx)
+    elif activation == "sigmoid":
+        out = _sigmoid(out, approx)
+    return buf[:, 1:], out
+
+
 # ---------------------------------------------------------------------------
 # GRU (compute_generic_gru, nnet.c:65-94) — gate order z, r, n
 # ---------------------------------------------------------------------------
