@@ -131,7 +131,6 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     the silence gate becomes E < 0.1 without clearing features, and
     ``lowpass_bin`` [S] zeroes spectrum bins >= lowpass (the data-augmentation
     hook)."""
-    analysis_mem, X, Ex = _frame_analysis(state.analysis_mem, x, lowpass_bin)
     pitch_buf = jnp.concatenate([state.pitch_buf[:, FRAME_SIZE:], x], axis=-1)
 
     ds = pitch_mod.pitch_downsample(pitch_buf)
@@ -146,8 +145,23 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     start = PITCH_BUF_SIZE - WINDOW_SIZE - T0
     p = take_window(pitch_buf, start, WINDOW_SIZE,
                     max_start=PITCH_BUF_SIZE - WINDOW_SIZE - PITCH_MIN_PERIOD)
-    P = windowed_forward_transform(p)
-    Ep = compute_band_energy(P)
+
+    # X (analysis window) and P (pitch window) share one stacked DFT matmul.
+    S = x.shape[0]
+    win = jnp.concatenate([state.analysis_mem, x], axis=-1)
+    both = windowed_forward_transform(
+        jnp.concatenate([win, p], axis=0))
+    X, P = both[:S], both[S:]
+    if lowpass_bin is not None:
+        bins = jnp.arange(X.shape[-1])[None, :]
+        X = jnp.where(bins < lowpass_bin[:, None], X, 0.0)
+    analysis_mem = x
+    if lowpass_bin is None:
+        Eboth = compute_band_energy(both)
+        Ex, Ep = Eboth[:S], Eboth[S:]
+    else:
+        Ex = compute_band_energy(X)
+        Ep = compute_band_energy(P)
     Exp_raw = compute_band_corr(X, P)
     Exp = Exp_raw / jnp.sqrt(0.001 + Ex * Ep)
 
