@@ -45,17 +45,18 @@ def _rand_excerpt(rng, data: np.ndarray, n: int) -> np.ndarray:
 
 
 def generate_sequence(rng, speech16, noise16, fgnoise16,
-                      rirs: RIRList | None):
+                      rirs: RIRList | None, seq_len: int = SEQUENCE_LENGTH):
     """One augmented (clean, noisy, vad, band_lp, lowpass, noise_free) tuple
     (dump_features.c:351-465)."""
-    x = _rand_excerpt(rng, speech16, SEQUENCE_SAMPLES)
-    n = _rand_excerpt(rng, noise16, SEQUENCE_SAMPLES)
-    fn = _rand_excerpt(rng, fgnoise16, SEQUENCE_SAMPLES)
+    n_samples = seq_len * FRAME_SIZE
+    x = _rand_excerpt(rng, speech16, n_samples)
+    n = _rand_excerpt(rng, noise16, n_samples)
+    fn = _rand_excerpt(rng, fgnoise16, n_samples)
 
     start_pos = 0
     if rng.integers(4) == 0:
         start_pos = int(-1000 * np.log(rng.random() + 1e-12))
-    start_pos = min(start_pos, SEQUENCE_SAMPLES)
+    start_pos = min(start_pos, n_samples)
 
     speech_gain = 10.0 ** ((-45 + 45 * rng.random() + 10 * rng.random()) / 20)
     noise_gain = 10.0 ** ((-30 + 40 * rng.random() + 15 * rng.random()) / 20)
@@ -75,7 +76,7 @@ def generate_sequence(rng, speech16, noise16, fgnoise16,
     a_sig, b_sig = rand_resp(rng)
     lowpass = int(FREQ_SIZE * 3000.0 / 24000.0 * (50.0 ** rng.random()))
 
-    E = np.sum((x.reshape(SEQUENCE_LENGTH, FRAME_SIZE) ** 2), axis=1)
+    E = np.sum((x.reshape(seq_len, FRAME_SIZE) ** 2), axis=1)
     vad = viterbi_vad(E)
 
     x = _biquad_f64(x, BIQUAD_HP_B, BIQUAD_HP_A)
@@ -111,7 +112,8 @@ def generate_sequence(rng, speech16, noise16, fgnoise16,
 
 
 def dump_features(speech_path, noise_path, fg_path, out_path, count,
-                  rir_list=None, batch=16, seed=None):
+                  rir_list=None, batch=16, seed=None,
+                  seq_len=SEQUENCE_LENGTH):
     import jax.numpy as jnp
 
     speech16 = np.memmap(speech_path, dtype=np.int16, mode="r")
@@ -124,7 +126,8 @@ def dump_features(speech_path, noise_path, fg_path, out_path, count,
         done = 0
         while done < count:
             B = min(batch, count - done)
-            seqs = [generate_sequence(rng, speech16, noise16, fg16, rirs)
+            seqs = [generate_sequence(rng, speech16, noise16, fg16, rirs,
+                                      seq_len)
                     for _ in range(B)]
             clean = np.stack([s[0] for s in seqs])
             noisy = np.stack([s[1] for s in seqs])
@@ -157,9 +160,11 @@ def main():
     p.add_argument("count", type=int)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--sequence-length", type=int, default=SEQUENCE_LENGTH)
     a = p.parse_args()
     dump_features(a.speech, a.noise, a.fg_noise, a.output, a.count,
-                  rir_list=a.rir_list, batch=a.batch, seed=a.seed)
+                  rir_list=a.rir_list, batch=a.batch, seed=a.seed,
+                  seq_len=a.sequence_length)
 
 
 if __name__ == "__main__":
