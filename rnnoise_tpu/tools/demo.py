@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("outfile")
     args = p.parse_args(argv)
 
+    import os
+    if not os.path.exists(args.infile):
+        p.error(f"input file not found: {args.infile}")
     if args.model:
         model = RNNoise.from_filename(args.model)
     else:

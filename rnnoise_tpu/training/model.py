@@ -80,7 +80,9 @@ def _gru_seq(p: Dict, x: jax.Array, h0: jax.Array) -> Tuple[jax.Array, jax.Array
         h = z * h + (1.0 - z) * n
         return h, h
 
-    hT, ys = jax.lax.scan(step, h0, jnp.moveaxis(xz, 1, 0))
+    # unroll amortises scan overhead over the 2000-step BPTT without
+    # changing numerics
+    hT, ys = jax.lax.scan(step, h0, jnp.moveaxis(xz, 1, 0), unroll=8)
     return jnp.moveaxis(ys, 0, 1), hT
 
 
