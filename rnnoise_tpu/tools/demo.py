@@ -37,9 +37,10 @@ def main(argv=None):
     if args.model:
         model = RNNoise.from_filename(args.model)
     else:
-        from __graft_entry__ import _demo_params
         from ..config import DEFAULT_MODEL
-        model = RNNoise(_demo_params(), DEFAULT_MODEL)
+        from ..weights.registry import load_registered
+        model = RNNoise(load_registered("rnnoise_synth_v1.blob"),
+                        DEFAULT_MODEL)
 
     den = StreamDenoiser(args.streams, model)
     pcm = np.fromfile(args.infile, dtype="<i2").astype(np.float32)

@@ -37,3 +37,16 @@ def test_dump_tables(tmp_path):
     data = np.load(path)
     assert data["band_matrix"].shape == (32, 481)
     assert data["dct_matrix"].shape == (32, 32)
+
+
+def test_registered_artifact_loads_and_pins():
+    from rnnoise_tpu.weights import registry
+    manifest = registry.read_manifest()
+    assert "rnnoise_synth_v1.blob" in manifest
+    params = registry.load_registered("rnnoise_synth_v1.blob")
+    assert params.gru1_input.weights_q is not None
+    # sparsity actually present (reference-style densities)
+    wq = np.asarray(params.gru1_recurrent.weights_q)
+    blocks = wq.reshape(96, 4, 144, 8)
+    density = (np.abs(blocks).sum(axis=(1, 3)) > 0).mean()
+    assert 0.2 < density < 0.55, density
