@@ -56,13 +56,26 @@ def main():
             # Chain the state through iterations: the computation differs
             # every call, so no executable/result caching can fake the
             # timing, and it is exactly the steady-state streaming pattern.
-            n_iter = 3
+            # Materialise a scalar on the host each iteration — remote-TPU
+            # runtimes have been observed to report block_until_ready before
+            # results exist, faking impossible timings.
+            # Take the min over several synced iterations: remote-TPU relay
+            # timing hiccups in both directions (async completion reported
+            # early; multi-second stalls), and min-of-N is robust to both.
+            n_iter = 5
             st = state2
-            t0 = time.perf_counter()
+            times = []
+            min_plausible = 1e-9 * S * T   # < 1 ns/frame/stream: impossible
             for _ in range(n_iter):
+                t0 = time.perf_counter()
                 st, out, vad = fn(st, pcm)
-            jax.block_until_ready(out)
-            elapsed = (time.perf_counter() - t0) / n_iter
+                checksum = float(jnp.sum(vad))   # forces host materialisation
+                dt = time.perf_counter() - t0
+                if np.isfinite(checksum) and dt >= min_plausible:
+                    times.append(dt)
+            if not times:
+                raise RuntimeError("no plausible timings collected")
+            elapsed = min(times)
 
             audio_seconds = T * FRAME_SIZE / 48000.0
             streams_rt = S * audio_seconds / elapsed
