@@ -36,25 +36,37 @@ def _grouped_corr(x: jax.Array, filt: jax.Array, out_len: int,
 
 
 def take_window(x: jax.Array, start: jax.Array, length: int,
-                max_start: int, block: int = 64) -> jax.Array:
+                max_start: int, blocks=(88, 8)) -> jax.Array:
     """out[s, i] = x[s, start[s] + i]  for i < length.
 
     x: [S, N]; start: [S] int in [0, max_start]; requires
     max_start + length <= N.  Exact (one-hot selection).
+
+    Multi-level mixed-radix decomposition of the offset: each level is one
+    grouped conv against a small one-hot filter (dilated by the level's
+    stride).  ``blocks=(88, 8)`` gives three levels with ~28k MACs per
+    stream for a 960-window over [0, 708] — 2.6x fewer than a two-level
+    (64,) split and ~50x fewer than a flat one-hot.
     """
     S, N = x.shape
-    nq = max_start // block + 1
-    q = start // block
-    r = start - q * block
-
-    coarse_len = length + block
-    need = (nq - 1) * block + coarse_len
-    xp = x if need <= N else jnp.pad(x, ((0, 0), (0, need - N)))
-    ohq = jax.nn.one_hot(q, nq, dtype=x.dtype)
-    C = _grouped_corr(xp, ohq, coarse_len, dilation=block)
-
-    ohr = jax.nn.one_hot(r, block, dtype=x.dtype)
-    return _grouped_corr(C, ohr, length)
+    strides = list(blocks) + [1]
+    rem = start
+    cur = x
+    hi = max_start
+    for lvl, stride in enumerate(strides):
+        n_taps = hi // stride + 1
+        q = rem // stride
+        rem = rem - q * stride
+        # this level's output must still cover the residual offset range
+        residual = stride - 1 if lvl < len(strides) - 1 else 0
+        out_len = length + residual
+        need = (n_taps - 1) * stride + out_len
+        if need > cur.shape[1]:
+            cur = jnp.pad(cur, ((0, 0), (0, need - cur.shape[1])))
+        oh = jax.nn.one_hot(q, n_taps, dtype=x.dtype)
+        cur = _grouped_corr(cur, oh, out_len, dilation=stride)
+        hi = residual
+    return cur
 
 
 def onehot_take(table: jax.Array, idx: jax.Array) -> jax.Array:
