@@ -57,3 +57,13 @@ def test_little_model_higher_sparsity_roundtrip(oracle_int8):
     st = oracle_int8.create_state(blob)                # C runtime
     out, _ = st.process_frame(np.zeros(480, np.float32))
     assert np.isfinite(out).all()
+
+
+def test_checked_process_frames_clean(model_params, rng):
+    from rnnoise_tpu.utils.debug import checked_process_frames, numerics_ab
+    from rnnoise_tpu.denoise import init_state
+    pcm = jnp.asarray(3000 * rng.standard_normal((2, 4, 480)), jnp.float32)
+    state, out, vad = checked_process_frames(model_params, init_state(2), pcm)
+    assert np.isfinite(np.asarray(out)).all()
+    vad_d, pcm_d = numerics_ab(model_params, pcm)
+    assert vad_d < 0.05 and pcm_d < 50.0   # int8-vs-float budget
