@@ -9,7 +9,6 @@ values; jit specialisation plays the role the C preprocessor plays there.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 # ---------------------------------------------------------------------------
 # DSP constants (reference src/denoise.h:31-41).  These are architectural

@@ -21,16 +21,14 @@ import jax
 import jax.numpy as jnp
 
 from .config import (DEFAULT_MODEL, DEFAULT_RUNTIME, FRAME_SIZE, FREQ_SIZE,
-                     ModelConfig, NB_BANDS, NB_FEATURES, PITCH_BUF_SIZE,
+                     ModelConfig, NB_BANDS, PITCH_BUF_SIZE,
                      PITCH_MAX_PERIOD, PITCH_MIN_PERIOD, RuntimeConfig,
-                     SILENCE_THRESHOLD,
-                     WINDOW_SIZE)
+                     SILENCE_THRESHOLD, WINDOW_SIZE)
 from . import tables
 from .dsp import biquad as biquad_mod
 from .dsp import pitch as pitch_mod
 from .dsp.gather import take_window
-from .dsp.transform import (apply_window, compute_band_corr,
-                            compute_band_energy, dct, forward_transform,
+from .dsp.transform import (compute_band_corr, compute_band_energy, dct,
                             frame_synthesis, interp_band_gain,
                             windowed_forward_transform)
 from .models.rnn import ModelParams, RNNState, compute_rnn, init_rnn_state

@@ -14,7 +14,6 @@ slots get their device state re-initialised via the reset mask.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -23,7 +22,7 @@ import numpy as np
 
 from ..api import RNNoise
 from ..config import DEFAULT_MODEL, DEFAULT_RUNTIME, FRAME_SIZE, RuntimeConfig
-from ..denoise import DenoiseState, init_state, process_frames, reset_streams
+from ..denoise import init_state, process_frames, reset_streams
 from .native import StreamPool
 
 

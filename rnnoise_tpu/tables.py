@@ -18,7 +18,7 @@ import functools
 
 import numpy as np
 
-from .config import FRAME_SIZE, FREQ_SIZE, NB_BANDS, WINDOW_SIZE
+from .config import FRAME_SIZE, FREQ_SIZE, NB_BANDS
 
 # Band edges in 50 Hz FFT-bin units; 32 bands plus 2 guard edges.
 EBAND20MS = np.array(

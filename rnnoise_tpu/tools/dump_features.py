@@ -18,9 +18,8 @@ import numpy as np
 
 from ..config import FRAME_SIZE, FREQ_SIZE
 from ..tables import BIQUAD_HP_A, BIQUAD_HP_B
-from ..training import augment
-from ..training.augment import (SEQUENCE_LENGTH, SEQUENCE_SAMPLES, clear_vad,
-                                rand_resp, viterbi_vad, weighted_rms_fast)
+from ..training.augment import (SEQUENCE_LENGTH, clear_vad, rand_resp,
+                                viterbi_vad, weighted_rms_fast)
 from ..training.features import (RIRList, _sequence_features,
                                  band_lp_from_lowpass, compute_targets,
                                  load_rir_list, rir_filter_sequence)

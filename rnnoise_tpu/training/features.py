@@ -23,12 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FRAME_SIZE, FREQ_SIZE, NB_BANDS
+from ..config import FRAME_SIZE, NB_BANDS
 from ..denoise import compute_frame_features, init_state
-from ..tables import BIQUAD_HP_A, BIQUAD_HP_B, EBAND20MS
-from . import augment
-from .augment import (SEQUENCE_LENGTH, SEQUENCE_SAMPLES, clear_vad, rand_resp,
-                      viterbi_vad, weighted_rms_fast)
+from ..tables import EBAND20MS
 
 RIR_FFT_SIZE = 65536
 RIR_MAX_DURATION = RIR_FFT_SIZE // 2

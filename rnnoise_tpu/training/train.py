@@ -17,7 +17,7 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import contextlib
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import RuntimeConfig
 from ..denoise import init_state, process_frames

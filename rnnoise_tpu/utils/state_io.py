@@ -8,7 +8,6 @@ fault recovery (SURVEY.md §5 checkpoint/resume row).
 
 from __future__ import annotations
 
-import io
 from typing import BinaryIO, Union
 
 import jax

@@ -22,7 +22,6 @@ import numpy as np
 from ..config import ModelConfig, DEFAULT_MODEL
 from ..models.rnn import ModelParams
 from ..nn.layers import LinearParams
-from . import blob as blob_mod
 from .blob import (WeightArray, densify_sparse_float, densify_sparse_int8,
                    parse_weights, unshuffle_dense_int8)
 
