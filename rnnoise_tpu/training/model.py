@@ -65,10 +65,15 @@ def _conv_valid(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.tanh(jnp.dot(xw, w, precision="float32") + b)
 
 
-def _gru_seq(p: Dict, x: jax.Array, h0: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _gru_seq(p: Dict, x: jax.Array, h0: jax.Array,
+             remat: bool = False) -> Tuple[jax.Array, jax.Array]:
     """x: [B, T, in], h0: [B, N] -> (outputs [B, T, N], h_T [B, N]).
 
-    Gate order z, r, n:  h' = z*h + (1-z)*tanh(xn + r*hn)."""
+    Gate order z, r, n:  h' = z*h + (1-z)*tanh(xn + r*hn).
+
+    ``remat`` rematerialises gate activations in the backward pass (only the
+    [B, T, N] hidden states are stored) — the default 128x2000-frame BPTT
+    would otherwise hold ~6 GB of gate activations."""
     N = h0.shape[-1]
     xz = jnp.dot(x, p["w_in"], precision="float32") + p["b_in"]                   # [B, T, 3N] (precomputed)
 
@@ -80,6 +85,8 @@ def _gru_seq(p: Dict, x: jax.Array, h0: jax.Array) -> Tuple[jax.Array, jax.Array
         h = z * h + (1.0 - z) * n
         return h, h
 
+    if remat:
+        step = jax.checkpoint(step)
     # unroll amortises scan overhead over the 2000-step BPTT without
     # changing numerics
     hT, ys = jax.lax.scan(step, h0, jnp.moveaxis(xz, 1, 0), unroll=8)
@@ -87,7 +94,7 @@ def _gru_seq(p: Dict, x: jax.Array, h0: jax.Array) -> Tuple[jax.Array, jax.Array
 
 
 def forward(params: Dict, features: jax.Array,
-            states: Optional[Tuple] = None):
+            states: Optional[Tuple] = None, remat: bool = False):
     """features: [B, T, 65] -> (gain [B, T-4, 32], vad [B, T-4, 1], states).
 
     Mirrors RNNoise.forward (torch/rnnoise/rnnoise.py:86-109)."""
@@ -98,9 +105,9 @@ def forward(params: Dict, features: jax.Array,
 
     c1 = _conv_valid(features, params["conv1"]["w"], params["conv1"]["b"])
     c2 = _conv_valid(c1, params["conv2"]["w"], params["conv2"]["b"])
-    g1, h1 = _gru_seq(params["gru1"], c2, states[0])
-    g2, h2 = _gru_seq(params["gru2"], g1, states[1])
-    g3, h3 = _gru_seq(params["gru3"], g2, states[2])
+    g1, h1 = _gru_seq(params["gru1"], c2, states[0], remat)
+    g2, h2 = _gru_seq(params["gru2"], g1, states[1], remat)
+    g3, h3 = _gru_seq(params["gru3"], g2, states[2], remat)
     cat = jnp.concatenate([c2, g1, g2, g3], axis=-1)
     gain = jax.nn.sigmoid(jnp.dot(cat, params["dense_out"]["w"],
                                   precision="float32")

@@ -42,12 +42,13 @@ def make_optimizer(lr: float = 1e-3, lr_decay: float = 5e-5):
 
 
 def make_train_step(optimizer, gamma: float = 0.25, sparse: bool = False,
-                    mesh: Optional[Mesh] = None):
+                    mesh: Optional[Mesh] = None, remat: bool = True):
     """Returns jitted (params, opt_state, states, batch, step) ->
     (params, opt_state, states, metrics)."""
 
     def loss_fn(params, states, features, gain, vad):
-        pred_gain, pred_vad, new_states = forward(params, features, states)
+        pred_gain, pred_vad, new_states = forward(params, features, states,
+                                                  remat=remat)
         loss, (gl, vl) = rnnoise_loss(pred_gain, pred_vad,
                                       gain[:, 3:-1], vad[:, 3:-1], gamma)
         return loss, (gl, vl, new_states)
