@@ -80,13 +80,13 @@ def reset_streams(state: DenoiseState, mask: jax.Array) -> DenoiseState:
     """Re-init the streams where ``mask`` is True without touching the others —
     the batched form of calling rnnoise_init on one stream (stream
     attach/detach support; no C analogue needed since states there are
-    per-stream)."""
+    per-stream).  Fresh state is all-zeros with the incoming state's shapes,
+    so custom model configs are handled."""
     S = state.analysis_mem.shape[0]
-    fresh = init_state(S)
-    def blend(a, b):
+    def blend(a):
         m = mask.reshape((S,) + (1,) * (a.ndim - 1))
-        return jnp.where(m, a, b)
-    return jax.tree.map(blend, fresh, state)
+        return jnp.where(m, jnp.zeros_like(a), a)
+    return jax.tree.map(blend, state)
 
 
 # ---------------------------------------------------------------------------
