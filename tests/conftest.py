@@ -71,3 +71,8 @@ def speechlike(rng, n, f0=110.0, fs=48000.0, noise=0.05):
 @pytest.fixture()
 def speech_signal(rng):
     return speechlike(rng, 48000)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--regen-golden", action="store_true", default=False,
+                     help="regenerate golden regression fixtures")
