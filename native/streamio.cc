@@ -118,12 +118,12 @@ int64_t rnnt_pool_available(const StreamPool* p, int slot) {
   return (int64_t)p->out_rings[slot].size;
 }
 
-// Assemble up to `t_frames` frames for every slot into batch[S, T, 480] f32.
-// frame_counts[s] receives the number of whole frames taken for slot s
-// (0 for inactive or starved slots); reset_mask[s] is set if the slot was
-// freshly attached since the last assemble (device state must be re-zeroed).
-// Slots that produce fewer than t_frames get zero-padding (masked by
-// frame_counts on the caller side).
+// Assemble `t_frames` frames for every slot into batch[S, T, 480] f32.
+// All-or-nothing per slot: a slot yields exactly t_frames whole frames or 0
+// (partial takes would have to be re-queued, which corrupts ordering when a
+// fractional frame remains in the ring).  frame_counts[s] receives t_frames
+// or 0; reset_mask[s] is set if the slot was freshly attached since the last
+// assemble (device state must be re-zeroed).
 void rnnt_pool_assemble(StreamPool* p, int t_frames, float* batch,
                         int32_t* frame_counts, uint8_t* reset_mask) {
   const size_t frame_elems = (size_t)t_frames * kFrameSize;
@@ -135,7 +135,7 @@ void rnnt_pool_assemble(StreamPool* p, int t_frames, float* batch,
     int take = 0;
     if (p->active[s]) {
       size_t whole = p->in_rings[s].size / kFrameSize;
-      take = (int)((whole < (size_t)t_frames) ? whole : (size_t)t_frames);
+      take = (whole >= (size_t)t_frames) ? t_frames : 0;
     }
     frame_counts[s] = take;
     size_t got = take ? p->in_rings[s].pop(tmp.data(), (size_t)take * kFrameSize)

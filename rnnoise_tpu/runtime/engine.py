@@ -78,16 +78,9 @@ class StreamingEngine:
         Returns the number of streams that advanced.  Streams only advance in
         whole chunk_frames quanta (push at least chunk_frames*480 samples)."""
         T = self.chunk_frames
+        # assembly is all-or-nothing per slot (see streamio.cc), so counts is
+        # either T or 0 and no re-queueing is ever needed
         batch, counts, reset = self.pool.assemble(T)
-        # only process slots with a full chunk; return the partial frames
-        partial = (counts > 0) & (counts < T)
-        if partial.any():
-            # push partial data back by re-queueing (simplest: treat as
-            # starved — re-push the popped samples in order)
-            for s in np.nonzero(partial)[0]:
-                n = int(counts[s]) * FRAME_SIZE
-                self.pool.push(int(s), batch[s].reshape(-1)[:n].astype(np.int16))
-                counts[s] = 0
         self.state, out, _vad = self._tick(
             self.state, jnp.asarray(batch),
             jnp.asarray(counts), jnp.asarray(reset.astype(bool)))

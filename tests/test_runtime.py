@@ -91,3 +91,31 @@ def test_streaming_engine_starved_stream_state_freeze(model_params):
     eng.tick()
     st_after = np.asarray(eng.state.pitch_buf[1])
     np.testing.assert_array_equal(st_before, st_after)
+
+
+def test_partial_chunk_ordering_preserved(model_params):
+    """A slot holding fewer than chunk_frames frames (plus a fractional
+    frame) must not advance, and later pushes must stay in order."""
+    from rnnoise_tpu.api import RNNoise
+    from rnnoise_tpu.runtime.engine import StreamingEngine
+
+    eng = StreamingEngine(2, RNNoise(model_params), chunk_frames=4)
+    s = eng.attach()
+    sig = np.arange(1, 6 * FRAME_SIZE + 101, dtype=np.int32)
+    sig = (sig % 1000).astype(np.int16)
+    eng.push(s, sig[:3 * FRAME_SIZE + 100])     # 3 frames + fraction
+    assert eng.tick() == 0                       # nothing advances
+    eng.push(s, sig[3 * FRAME_SIZE + 100:])     # complete the stream
+    assert eng.tick() == 1                       # one chunk of 4 processed
+    eng.tick()                                   # second... only 2 frames left
+    # reference run over the same contiguous signal
+    from rnnoise_tpu.denoise import init_state, process_frames
+    import jax.numpy as jnp
+    st = init_state(1)
+    st, ref, _ = process_frames(
+        model_params, st,
+        jnp.asarray(sig[:4 * FRAME_SIZE].astype(np.float32)
+                    .reshape(1, 4, FRAME_SIZE)))
+    got = eng.pull(s, 4 * FRAME_SIZE).astype(np.float64)
+    ref = np.clip(np.round(np.asarray(ref).reshape(-1)), -32768, 32767)
+    np.testing.assert_allclose(got, ref, atol=1.5)
