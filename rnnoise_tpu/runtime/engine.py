@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..api import RNNoise
-from ..config import DEFAULT_MODEL, DEFAULT_RUNTIME, FRAME_SIZE, RuntimeConfig
+from ..config import DEFAULT_MODEL, DEFAULT_RUNTIME, RuntimeConfig
 from ..denoise import init_state, process_frames, reset_streams
 from .native import StreamPool
 
