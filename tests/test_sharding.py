@@ -82,3 +82,25 @@ def test_sharded_train_step_matches_unsharded(mesh, rng):
     assert abs(float(m_ref["loss"]) - float(m_sh["loss"])) < 1e-5
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dryrun_multichip_driver_invocation():
+    """Invoke __graft_entry__.dryrun_multichip exactly as the driver does:
+    a fresh process with NO JAX env pre-set (round-1 regression: the dryrun
+    depended on the caller exporting JAX_PLATFORMS/XLA_FLAGS and crashed when
+    the driver called it with a clean environment — MULTICHIP_r01.json)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    code = ("import sys; sys.path.insert(0, %r)\n"
+            "import __graft_entry__\n"
+            "__graft_entry__.dryrun_multichip(8)\n"
+            "print('DRYRUN_OK')\n" % repo)
+    res = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-4000:]
+    assert "DRYRUN_OK" in res.stdout
