@@ -5,10 +5,8 @@ handful of elements per stream), so this module provides two dense
 replacements:
 
   * :func:`take_window` — extract a per-stream window ``x[s, start[s]:+L]``
-    as two grouped convolutions against one-hot filters (a dilated coarse
-    step at block granularity, then a dense fine step).  Convolutions keep
-    the whole computation in one fusion instead of L memory-bound shifted
-    adds.
+    as a cascade of one-hot-masked static shifted slices (mixed-radix
+    decomposition of the offset); each level fuses into one elementwise pass.
   * :func:`onehot_take` — scalar/table lookups as one-hot masked reductions.
 """
 
@@ -18,35 +16,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _grouped_corr(x: jax.Array, filt: jax.Array, out_len: int,
-                  dilation: int = 1) -> jax.Array:
-    """out[s, i] = sum_j filt[s, j] * x[s, i + j*dilation]   for i < out_len."""
-    S = x.shape[0]
-    lhs = x[None, :, :]
-    rhs = filt[:, None, :]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=S,
-        precision="float32",
-        preferred_element_type=jnp.float32,
-    )
-    return out[0, :, :out_len]
-
-
 def take_window(x: jax.Array, start: jax.Array, length: int,
-                max_start: int, blocks=(88, 8)) -> jax.Array:
+                max_start: int, blocks=(64, 8)) -> jax.Array:
     """out[s, i] = x[s, start[s] + i]  for i < length.
 
     x: [S, N]; start: [S] int in [0, max_start]; requires
     max_start + length <= N.  Exact (one-hot selection).
 
-    Multi-level mixed-radix decomposition of the offset: each level is one
-    grouped conv against a small one-hot filter (dilated by the level's
-    stride).  ``blocks=(88, 8)`` gives three levels with ~28k MACs per
-    stream for a 960-window over [0, 708] — 2.6x fewer than a two-level
-    (64,) split and ~50x fewer than a flat one-hot.
+    Multi-level mixed-radix decomposition of the offset: each level selects
+    one of a handful of statically shifted copies with a one-hot mask
+    (``sum_t oh[s, t] * x[s, t*stride : t*stride + L]``).  The shifted
+    static slices all read the same buffer, so XLA fuses each level — and
+    usually the whole chain — into a single elementwise pass; measured on
+    TPU v5e this is ~50x faster than the equivalent one-hot grouped
+    convolutions (which lower to 1-channel-per-group convs with degenerate
+    T(1,128) layouts).  ``blocks=(64, 8)`` -> 12 + 8 + 8 shifted adds for a
+    960-window over [0, 708].
     """
     S, N = x.shape
     strides = list(blocks) + [1]
@@ -64,7 +49,10 @@ def take_window(x: jax.Array, start: jax.Array, length: int,
         if need > cur.shape[1]:
             cur = jnp.pad(cur, ((0, 0), (0, need - cur.shape[1])))
         oh = jax.nn.one_hot(q, n_taps, dtype=x.dtype)
-        cur = _grouped_corr(cur, oh, out_len, dilation=stride)
+        acc = oh[:, 0:1] * cur[:, :out_len]
+        for t in range(1, n_taps):
+            acc = acc + oh[:, t:t + 1] * cur[:, t * stride:t * stride + out_len]
+        cur = acc
         hi = residual
     return cur
 

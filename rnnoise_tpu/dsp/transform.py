@@ -31,11 +31,27 @@ from ..config import FRAME_SIZE, FREQ_SIZE, WINDOW_SIZE
 # native FFT (used on CPU where it is faster and for bit-parity tests).
 _DFT_MODE = "auto"          # "auto" | "fft" | "matmul"
 
+# Dot algorithm for the big [*, 960] x [960, 962] DFT matmuls.  On TPU the
+# f32 matmul is emulated as six bf16 MXU passes; the three-pass variant
+# (BF16_BF16_F32_X3) halves the DFT cost at ~1.4e-5 max relative error —
+# measured end-to-end over 150 stateful frames (scripts/tpu_fast_parity.py)
+# this moves PCM by <1.1 LSB and VAD by <1e-6 vs the exact-f32 pipeline,
+# inside the 4 LSB / 1e-3 parity budget.  Band-energy matmuls deliberately
+# stay exact (see compute_band_energy).  "f32" forces the exact six-pass
+# form everywhere (CPU always uses it: the X3 preset is TPU-only).
+_DFT_PRECISION = "auto"     # "auto" | "x3" | "f32"
+
 
 def set_dft_mode(mode: str) -> None:
     global _DFT_MODE
     assert mode in ("auto", "fft", "matmul")
     _DFT_MODE = mode
+
+
+def set_dft_precision(mode: str) -> None:
+    global _DFT_PRECISION
+    assert mode in ("auto", "x3", "f32")
+    _DFT_PRECISION = mode
 
 
 def _use_matmul() -> bool:
@@ -44,6 +60,18 @@ def _use_matmul() -> bool:
     if _DFT_MODE == "fft":
         return False
     return jax.default_backend() == "tpu"
+
+
+def _dft_dot(a: jax.Array, b) -> jax.Array:
+    """The DFT matmul with the selected dot algorithm."""
+    use_x3 = (_DFT_PRECISION == "x3" or
+              (_DFT_PRECISION == "auto" and jax.default_backend() == "tpu"))
+    prec = (jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3 if use_x3
+            else "float32")
+    return jax.lax.dot_general(a, jnp.asarray(b), (((a.ndim - 1,), (0,)),
+                                                   ((), ())),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -92,14 +120,20 @@ def inverse_transform(X: jax.Array) -> jax.Array:
 
 
 def compute_band_energy(X: jax.Array) -> jax.Array:
-    """X: [..., FREQ_SIZE] complex -> [..., NB_BANDS] band energies."""
+    """X: [..., FREQ_SIZE] complex -> [..., NB_BANDS] band energies.
+
+    Stays exact f32: band energies feed threshold comparisons (silence gate,
+    Exp > g in the pitch filter) where the X3 fast-dot's ~1e-5 error flips
+    branches and moves PCM by >10 LSB (measured: scripts/tpu_fast_parity.py
+    isolation)."""
     e = jnp.real(X) ** 2 + jnp.imag(X) ** 2
     return jnp.dot(e, jnp.asarray(tables.band_matrix()).T,
                    precision="float32")
 
 
 def compute_band_corr(X: jax.Array, P: jax.Array) -> jax.Array:
-    """Triangular-banded Re{X · conj(P)} (src/denoise.c:115-138)."""
+    """Triangular-banded Re{X · conj(P)} (src/denoise.c:115-138).
+    Exact f32 — see compute_band_energy."""
     c = jnp.real(X) * jnp.real(P) + jnp.imag(X) * jnp.imag(P)
     return jnp.dot(c, jnp.asarray(tables.band_matrix()).T,
                    precision="float32")
@@ -110,8 +144,7 @@ def interp_band_gain(band_g: jax.Array) -> jax.Array:
 
     Bins 401..480 come out zero (20 kHz brick wall — see tables.interp_matrix).
     """
-    return jnp.dot(band_g, jnp.asarray(tables.interp_matrix()).T,
-                   precision="float32")
+    return _dft_dot(band_g, tables.interp_matrix().T)
 
 
 def dct(x: jax.Array) -> jax.Array:
@@ -134,8 +167,7 @@ def windowed_forward_transform(x: jax.Array) -> jax.Array:
     """forward_transform(apply_window(x)) in one matmul."""
     if _use_matmul():
         fwd, _ = _windowed_dft_matrices()
-        ri = jnp.dot(x.astype(jnp.float32), jnp.asarray(fwd),
-                     precision="float32", preferred_element_type=jnp.float32)
+        ri = _dft_dot(x.astype(jnp.float32), fwd)
         return jax.lax.complex(ri[..., :FREQ_SIZE], ri[..., FREQ_SIZE:])
     return forward_transform(apply_window(x))
 
@@ -145,8 +177,7 @@ def windowed_inverse_transform(X: jax.Array) -> jax.Array:
     if _use_matmul():
         _, inv = _windowed_dft_matrices()
         ri = jnp.concatenate([jnp.real(X), jnp.imag(X)], axis=-1)
-        return jnp.dot(ri, jnp.asarray(inv), precision="float32",
-                       preferred_element_type=jnp.float32)
+        return _dft_dot(ri, inv)
     return apply_window(inverse_transform(X))
 
 
