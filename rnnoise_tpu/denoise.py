@@ -45,10 +45,13 @@ class DenoiseState(NamedTuple):
     mem_hp: jax.Array            # [S, 2]
     lastg: jax.Array             # [S, NB_BANDS]
     rnn: RNNState
-    delayed_X: jax.Array         # [S, FREQ_SIZE, 2] f32 (re/im — complex is
-    delayed_P: jax.Array         # kept out of jit boundaries; some TPU
-                                 # runtimes handle complex64 host<->device
-                                 # transfers unreliably)
+    delayed_X: jax.Array         # [S, 2*FREQ_SIZE] f32, re|im concatenated
+    delayed_P: jax.Array         # (complex is kept out of jit boundaries:
+                                 # some TPU runtimes handle complex64
+                                 # host<->device transfers unreliably; the
+                                 # flat [962] layout also tiles lanes fully —
+                                 # a trailing re/im axis of 2 wastes 126/128
+                                 # lanes on TPU)
     delayed_Ex: jax.Array        # [S, NB_BANDS]
     delayed_Ep: jax.Array        # [S, NB_BANDS]
     delayed_Exp: jax.Array       # [S, NB_BANDS]
@@ -68,8 +71,8 @@ def init_state(n_streams: int,
         mem_hp=jnp.zeros((S, 2), f32),
         lastg=jnp.zeros((S, NB_BANDS), f32),
         rnn=init_rnn_state(S, config),
-        delayed_X=jnp.zeros((S, FREQ_SIZE, 2), f32),
-        delayed_P=jnp.zeros((S, FREQ_SIZE, 2), f32),
+        delayed_X=jnp.zeros((S, 2 * FREQ_SIZE), f32),
+        delayed_P=jnp.zeros((S, 2 * FREQ_SIZE), f32),
         delayed_Ex=jnp.zeros((S, NB_BANDS), f32),
         delayed_Ep=jnp.zeros((S, NB_BANDS), f32),
         delayed_Exp=jnp.zeros((S, NB_BANDS), f32),
@@ -141,25 +144,35 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     # pitch-delayed window p[i] = pitch_buf[PITCH_BUF_SIZE-WINDOW_SIZE-T0+i]
     # (one-hot shifted-sum window extraction — element gathers are slow on TPU)
     start = PITCH_BUF_SIZE - WINDOW_SIZE - T0
-    p = take_window(pitch_buf, start, WINDOW_SIZE,
-                    max_start=PITCH_BUF_SIZE - WINDOW_SIZE - PITCH_MIN_PERIOD)
-
-    # X (analysis window) and P (pitch window) share one stacked DFT matmul.
     S = x.shape[0]
-    win = jnp.concatenate([state.analysis_mem, x], axis=-1)
-    both = windowed_forward_transform(
-        jnp.concatenate([win, p], axis=0))
-    X, P = both[:S], both[S:]
-    if lowpass_bin is not None:
-        bins = jnp.arange(X.shape[-1])[None, :]
-        X = jnp.where(bins < lowpass_bin[:, None], X, 0.0)
-    analysis_mem = x
-    if lowpass_bin is None:
-        Eboth = compute_band_energy(both)
-        Ex, Ep = Eboth[:S], Eboth[S:]
-    else:
+    from .dsp import pallas_spectral
+    if lowpass_bin is None and pallas_spectral.fused_enabled():
+        # Fused Pallas kernel: window extraction + both forward DFTs in one
+        # VMEM-resident pass (saves p's HBM round trip + masked-shift passes).
+        X, P = pallas_spectral.forward_spectral(state.analysis_mem, x,
+                                                pitch_buf, start)
+        analysis_mem = x
         Ex = compute_band_energy(X)
         Ep = compute_band_energy(P)
+    else:
+        p = take_window(pitch_buf, start, WINDOW_SIZE,
+                        max_start=PITCH_BUF_SIZE - WINDOW_SIZE
+                        - PITCH_MIN_PERIOD)
+        # X (analysis) and P (pitch window) share one stacked DFT matmul.
+        win = jnp.concatenate([state.analysis_mem, x], axis=-1)
+        both = windowed_forward_transform(
+            jnp.concatenate([win, p], axis=0))
+        X, P = both[:S], both[S:]
+        if lowpass_bin is not None:
+            bins = jnp.arange(X.shape[-1])[None, :]
+            X = jnp.where(bins < lowpass_bin[:, None], X, 0.0)
+        analysis_mem = x
+        if lowpass_bin is None:
+            Eboth = compute_band_energy(both)
+            Ex, Ep = Eboth[:S], Eboth[S:]
+        else:
+            Ex = compute_band_energy(X)
+            Ep = compute_band_energy(P)
     Exp_raw = compute_band_corr(X, P)
     Exp = Exp_raw / jnp.sqrt(0.001 + Ex * Ep)
 
@@ -184,11 +197,11 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
 
 
 def _to_complex(x):
-    return jax.lax.complex(x[..., 0], x[..., 1])
+    return jax.lax.complex(x[..., :FREQ_SIZE], x[..., FREQ_SIZE:])
 
 
 def _to_real_pair(X):
-    return jnp.stack([jnp.real(X), jnp.imag(X)], axis=-1)
+    return jnp.concatenate([jnp.real(X), jnp.imag(X)], axis=-1)
 
 
 def _frame_analysis(analysis_mem, x, lowpass_bin=None):

@@ -250,26 +250,25 @@ def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
     prev_period = (prev_period // 2).astype(jnp.int32)
 
     x = x_lp                                          # x[j] == x_lp[:, 384+j]
-    # xc_table[s, t] = sum_{j<480} x[j] * x[j - t],  t = 0..384
+    # The lag tables are kept in bx's native orientation (u = 384 - lag) and
+    # every lookup flips its index instead — lane-dim reversals are real
+    # memory passes on TPU (~13 us each at S=4096), index flips are free.
     if bx is None:
-        bx = lag_corr_table(x_lp)                     # lag i == 384 - t
-    xc_table = bx[:, ::-1]
+        bx = lag_corr_table(x_lp)                     # bx[s, u]: lag = 384 - u
 
     def xdot(lag):                                    # [S] int32 -> [S]
-        return _take(xc_table, lag)
+        return _take(bx, _MAXP2 - lag)
 
-    xx = xc_table[:, 0]
+    xx = bx[:, _MAXP2]                                # lag 0
     xy = xdot(T0)
 
-    # yy_lookup[i] = sum_{j<480} x[j-i]^2 via prefix sums (clamped >= 0).
+    # yy_rev[u] = sum_{j<480} x[j-(384-u)]^2 via prefix sums (clamped >= 0),
+    # i.e. the lag-(384-u) energy: c[480+u] - c[u].
     c = jnp.cumsum(jnp.square(x), axis=-1)
     c = jnp.concatenate([jnp.zeros_like(c[:, :1]), c], axis=-1)
-    # yy_lookup[i] = c[864 - i] - c[384 - i]: static reversed slices
-    yy_lookup = jnp.maximum(0.0,
-                            c[:, _DS_LEN - _MAXP2:_DS_LEN + 1][:, ::-1] -
-                            c[:, :_MAXP2 + 1][:, ::-1])
+    yy_rev = jnp.maximum(0.0, c[:, _N2:_DS_LEN + 1] - c[:, :_MAXP2 + 1])
 
-    yy = _take(yy_lookup, T0)
+    yy = _take(yy_rev, _MAXP2 - T0)
     best_xy, best_yy = xy, yy
     g0 = _pitch_gain(xy, xx, yy)
     g = g0
@@ -283,10 +282,10 @@ def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
     T1bs = (2 * sc * T0[:, None] + ks) // (2 * ks)
     T1bs = T1bs.at[:, 0].set(
         jnp.where(T1s[:, 0] + T0 > _MAXP2, T0, T0 + T1s[:, 0]))
-    xy1s = onehot_take(xc_table, T1s)
-    xy2s = onehot_take(xc_table, T1bs)
-    yy1s = onehot_take(yy_lookup, T1s)
-    yy2s = onehot_take(yy_lookup, T1bs)
+    xy1s = onehot_take(bx, _MAXP2 - T1s)
+    xy2s = onehot_take(bx, _MAXP2 - T1bs)
+    yy1s = onehot_take(yy_rev, _MAXP2 - T1s)
+    yy2s = onehot_take(yy_rev, _MAXP2 - T1bs)
 
     active = jnp.ones_like(T0, dtype=bool)
     for k in range(2, 16):
@@ -315,7 +314,7 @@ def remove_doubling(x_lp: jax.Array, pitch_index: jax.Array,
     pg = jnp.where(best_yy <= best_xy, 1.0, best_xy / (best_yy + 1.0))
 
     lags3 = jnp.clip(T[:, None] + jnp.arange(-1, 2)[None, :], 0, _MAXP2)
-    xcorr3 = onehot_take(xc_table, lags3)
+    xcorr3 = onehot_take(bx, _MAXP2 - lags3)
     xcorr = [xcorr3[:, 0], xcorr3[:, 1], xcorr3[:, 2]]
     offset = jnp.where((xcorr[2] - xcorr[0]) > 0.7 * (xcorr[1] - xcorr[0]), 1,
                        jnp.where((xcorr[0] - xcorr[2]) > 0.7 * (xcorr[1] - xcorr[2]),
