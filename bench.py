@@ -41,7 +41,10 @@ def main():
     T = 100                       # 1 s of audio per dispatch
     best = 0.0
     best_cfg = None
-    for S in (1024, 2048, 4096):
+    # Sweep measured r2: 8192 is ~15% WORSE per stream than 4096 (HBM-side
+    # working-set effects), 16384 worse still — 4096 is the knee.  Keep 8192
+    # in the sweep so regressions in large-S scaling stay visible.
+    for S in (2048, 4096, 8192):
         try:
             state = init_state(S)
             pcm = jnp.asarray(

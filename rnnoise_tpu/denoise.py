@@ -57,6 +57,16 @@ class DenoiseState(NamedTuple):
     delayed_Exp: jax.Array       # [S, NB_BANDS]
 
 
+def _spec_width() -> int:
+    """Width of one stored spectrum half (re or im): FREQ_SIZE in natural
+    order, PERM_WIDTH when the fused Pallas kernels' permuted layout is
+    active on this backend."""
+    from .dsp import pallas_spectral
+    if pallas_spectral.fused_enabled():
+        return pallas_spectral.PERM_WIDTH
+    return FREQ_SIZE
+
+
 def init_state(n_streams: int,
                config: ModelConfig = DEFAULT_MODEL) -> DenoiseState:
     """Zero state for S streams (rnnoise_init, denoise.c:285-309)."""
@@ -71,8 +81,8 @@ def init_state(n_streams: int,
         mem_hp=jnp.zeros((S, 2), f32),
         lastg=jnp.zeros((S, NB_BANDS), f32),
         rnn=init_rnn_state(S, config),
-        delayed_X=jnp.zeros((S, 2 * FREQ_SIZE), f32),
-        delayed_P=jnp.zeros((S, 2 * FREQ_SIZE), f32),
+        delayed_X=jnp.zeros((S, 2 * _spec_width()), f32),
+        delayed_P=jnp.zeros((S, 2 * _spec_width()), f32),
         delayed_Ex=jnp.zeros((S, NB_BANDS), f32),
         delayed_Ep=jnp.zeros((S, NB_BANDS), f32),
         delayed_Exp=jnp.zeros((S, NB_BANDS), f32),
@@ -147,10 +157,14 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     S = x.shape[0]
     from .dsp import pallas_spectral
     if lowpass_bin is None and pallas_spectral.fused_enabled():
-        # Fused Pallas kernel: window extraction + both forward DFTs in one
-        # VMEM-resident pass (saves p's HBM round trip + masked-shift passes).
-        X, P = pallas_spectral.forward_spectral(state.analysis_mem, x,
-                                                pitch_buf, start)
+        # Fused Pallas kernel: window extraction + both factored forward DFTs
+        # in one VMEM-resident pass.  The spectra come back in the kernels'
+        # permuted bin order (pallas_spectral.spectrum_perm); every consumer
+        # downstream is either elementwise or uses layout-aware matrices.
+        Xp, Pp = pallas_spectral.forward_spectral(state.analysis_mem, x,
+                                                  pitch_buf, start)
+        X = _to_complex(Xp)
+        P = _to_complex(Pp)
         analysis_mem = x
         Ex = compute_band_energy(X)
         Ep = compute_band_energy(P)
@@ -197,7 +211,8 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
 
 
 def _to_complex(x):
-    return jax.lax.complex(x[..., :FREQ_SIZE], x[..., FREQ_SIZE:])
+    h = x.shape[-1] // 2
+    return jax.lax.complex(x[..., :h], x[..., h:])
 
 
 def _to_real_pair(X):
@@ -218,16 +233,17 @@ def _frame_analysis(analysis_mem, x, lowpass_bin=None):
 # ---------------------------------------------------------------------------
 
 def pitch_filter(X, P, Ex, Ep, Exp, g):
+    w = X.shape[-1]                     # natural or permuted spectrum layout
     sq = jnp.square
     r = jnp.where(Exp > g, 1.0,
                   sq(Exp) * (1.0 - sq(g)) / (0.001 + sq(g) * (1.0 - sq(Exp))))
     r = jnp.sqrt(jnp.clip(r, 0.0, 1.0))
     r = r * jnp.sqrt(Ex / (1e-8 + Ep))
-    rf = interp_band_gain(r)
+    rf = interp_band_gain(r, width=w)
     X = X + rf * P
     newE = compute_band_energy(X)
     norm = jnp.sqrt(Ex / (1e-8 + newE))
-    normf = interp_band_gain(norm)
+    normf = interp_band_gain(norm, width=w)
     return X * normf
 
 
@@ -270,7 +286,7 @@ def process_frame(params: Optional[ModelParams], state: DenoiseState,
     g_capped = jnp.maximum(g, 0.6 * state.lastg)
     lastg = jnp.minimum(1.0, g_capped * (state.delayed_Ex + 1e-3)
                         / (ff.Ex + 1e-3))
-    gf = interp_band_gain(g_capped)
+    gf = interp_band_gain(g_capped, width=delayed_X.shape[-1])
     Xd = Xd * gf
 
     sil = silence[:, None]

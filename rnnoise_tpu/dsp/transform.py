@@ -119,32 +119,54 @@ def inverse_transform(X: jax.Array) -> jax.Array:
     return (x * WINDOW_SIZE).astype(jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _band_matrix_for(width: int):
+    """Band aggregation matrix for either spectrum layout: natural
+    (width = FREQ_SIZE) or the fused kernels' permuted layout (see
+    pallas_spectral.spectrum_perm)."""
+    m = tables.band_matrix()
+    if width == m.shape[-1]:
+        return m
+    from .pallas_spectral import permute_matrix_cols
+    return permute_matrix_cols(m)
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix_for(width: int):
+    m = tables.interp_matrix()                           # [FREQ_SIZE, NB]
+    if width == m.shape[0]:
+        return m
+    from .pallas_spectral import permute_matrix_cols
+    return permute_matrix_cols(np.ascontiguousarray(m.T)).T
+
+
 def compute_band_energy(X: jax.Array) -> jax.Array:
-    """X: [..., FREQ_SIZE] complex -> [..., NB_BANDS] band energies.
+    """X: [..., FREQ_SIZE or PERM_WIDTH] complex -> [..., NB_BANDS] energies.
 
     Stays exact f32: band energies feed threshold comparisons (silence gate,
     Exp > g in the pitch filter) where the X3 fast-dot's ~1e-5 error flips
     branches and moves PCM by >10 LSB (measured: scripts/tpu_fast_parity.py
     isolation)."""
     e = jnp.real(X) ** 2 + jnp.imag(X) ** 2
-    return jnp.dot(e, jnp.asarray(tables.band_matrix()).T,
-                   precision="float32")
+    bm = _band_matrix_for(X.shape[-1])
+    return jnp.dot(e, jnp.asarray(bm).T, precision="float32")
 
 
 def compute_band_corr(X: jax.Array, P: jax.Array) -> jax.Array:
     """Triangular-banded Re{X · conj(P)} (src/denoise.c:115-138).
     Exact f32 — see compute_band_energy."""
     c = jnp.real(X) * jnp.real(P) + jnp.imag(X) * jnp.imag(P)
-    return jnp.dot(c, jnp.asarray(tables.band_matrix()).T,
-                   precision="float32")
+    bm = _band_matrix_for(X.shape[-1])
+    return jnp.dot(c, jnp.asarray(bm).T, precision="float32")
 
 
-def interp_band_gain(band_g: jax.Array) -> jax.Array:
-    """band_g: [..., NB_BANDS] -> per-bin gain [..., FREQ_SIZE].
+def interp_band_gain(band_g: jax.Array, width: int = FREQ_SIZE) -> jax.Array:
+    """band_g: [..., NB_BANDS] -> per-bin gain [..., width] where width
+    selects the spectrum layout (FREQ_SIZE natural / PERM_WIDTH permuted).
 
     Bins 401..480 come out zero (20 kHz brick wall — see tables.interp_matrix).
     """
-    return _dft_dot(band_g, tables.interp_matrix().T)
+    return _dft_dot(band_g, _interp_matrix_for(width).T)
 
 
 def dct(x: jax.Array) -> jax.Array:
@@ -196,10 +218,16 @@ def frame_analysis(analysis_mem: jax.Array, pcm: jax.Array):
 def frame_synthesis(synthesis_mem: jax.Array, Y: jax.Array):
     """Inverse transform + window + overlap-add (src/denoise.c:400-407).
 
-    synthesis_mem: [S, FRAME_SIZE];  Y: [S, FREQ_SIZE] complex.
+    synthesis_mem: [S, FRAME_SIZE];  Y: [S, FREQ_SIZE] complex (natural) or
+    [S, PERM_WIDTH] complex (the fused kernels' permuted layout).
     Returns (new_synthesis_mem, out_pcm[S, FRAME_SIZE]).
     """
-    x = windowed_inverse_transform(Y)
+    if Y.shape[-1] != FREQ_SIZE:
+        from .pallas_spectral import inverse_spectral
+        ri = jnp.concatenate([jnp.real(Y), jnp.imag(Y)], axis=-1)
+        x = inverse_spectral(ri)
+    else:
+        x = windowed_inverse_transform(Y)
     # Barrier: both halves of x feed different outputs; without it XLA clones
     # the whole inverse matmul into each consumer fusion.
     x = jax.lax.optimization_barrier(x)

@@ -40,7 +40,11 @@ def speechlike(rng, n, f0=110.0, fs=48000.0, noise=0.05):
 
 
 def run(mode, params, pcm, rt):
+    from rnnoise_tpu.dsp import pallas_spectral
     transform.set_dft_precision(mode)
+    # "x3" = the production TPU fast path incl. the fused Pallas kernels;
+    # "f32" = the exact reference formulation (XLA ops, six-pass f32 dots).
+    pallas_spectral.set_fused("auto" if mode == "x3" else "off")
     state = init_state(pcm.shape[0])
     fn = jax.jit(lambda st, x: process_frames(params, st, x, rt))
     st, out, vad = fn(state, pcm)
@@ -64,11 +68,13 @@ def main():
         for i in range(S)])
     pcm = jnp.asarray(pcm, jnp.float32)
 
+    from rnnoise_tpu.dsp import pallas_spectral
     try:
         out_x3, vad_x3 = run("x3", params, pcm, rt)
         out_f32, vad_f32 = run("f32", params, pcm, rt)
     finally:
         transform.set_dft_precision("auto")
+        pallas_spectral.set_fused("auto")
 
     pcm_delta = np.abs(out_x3 - out_f32).max()
     vad_delta = np.abs(vad_x3 - vad_f32).max()

@@ -45,3 +45,65 @@ def test_factored_dft_matches_direct(rng):
     finally:
         tr.set_dft_mode("auto")
     np.testing.assert_allclose(X1, X2, atol=3e-6 * np.abs(X2).max())
+
+
+def test_fused_forward_spectral_matches_xla(rng):
+    """The fused DIF forward kernel (interpret mode) vs the XLA path:
+    window extraction + windowed forward DFT, compared in permuted order."""
+    import jax.numpy as jnp
+    from rnnoise_tpu.config import FRAME_SIZE, PITCH_BUF_SIZE
+    from rnnoise_tpu.dsp import pallas_spectral as ps
+    from rnnoise_tpu.dsp import transform as tr
+    from rnnoise_tpu.dsp.gather import take_window
+
+    S = 8
+    mem = jnp.asarray(3000 * rng.standard_normal((S, FRAME_SIZE)), jnp.float32)
+    x = jnp.asarray(3000 * rng.standard_normal((S, FRAME_SIZE)), jnp.float32)
+    buf = jnp.asarray(3000 * rng.standard_normal((S, PITCH_BUF_SIZE)),
+                      jnp.float32)
+    start = jnp.asarray(rng.integers(0, ps._MAX_START + 1, S), jnp.int32)
+
+    try:
+        tr.set_dft_mode("matmul")
+        tr.set_dft_precision("f32")
+        Xn = tr.windowed_forward_transform(jnp.concatenate([mem, x], axis=-1))
+        Pn = tr.windowed_forward_transform(
+            take_window(buf, start, 960, max_start=ps._MAX_START))
+    finally:
+        tr.set_dft_mode("auto")
+        tr.set_dft_precision("auto")
+
+    Xp, Pp = ps.forward_spectral(mem, x, buf, start, interpret=True)
+    scale = float(jnp.max(jnp.abs(Xn)))
+    # compare incl. the extension bins (needed by the inverse)
+    np.testing.assert_allclose(np.asarray(Xp),
+                               np.asarray(ps.permute_spectrum(Xn)),
+                               atol=5e-5 * scale)
+    np.testing.assert_allclose(np.asarray(Pp),
+                               np.asarray(ps.permute_spectrum(Pn)),
+                               atol=5e-5 * scale)
+
+
+def test_fused_inverse_spectral_matches_xla(rng):
+    """The fused DIF inverse kernel (interpret mode) vs the XLA windowed
+    inverse transform, from a natural spectrum permuted for input."""
+    import jax.numpy as jnp
+    from rnnoise_tpu.config import FREQ_SIZE
+    from rnnoise_tpu.dsp import pallas_spectral as ps
+    from rnnoise_tpu.dsp import transform as tr
+
+    S = 8
+    X = jnp.asarray(rng.standard_normal((S, FREQ_SIZE)) +
+                    1j * rng.standard_normal((S, FREQ_SIZE)), jnp.complex64)
+    X = X.at[:, 0].set(jnp.real(X[:, 0]))          # DC/Nyquist real, as a
+    X = X.at[:, -1].set(jnp.real(X[:, -1]))        # real signal's DFT is
+    try:
+        tr.set_dft_mode("matmul")
+        tr.set_dft_precision("f32")
+        x_ref = tr.windowed_inverse_transform(X)
+    finally:
+        tr.set_dft_mode("auto")
+        tr.set_dft_precision("auto")
+    x_got = ps.inverse_spectral(ps.permute_spectrum(X), interpret=True)
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref),
+                               atol=5e-5 * float(jnp.max(jnp.abs(x_ref))))
