@@ -42,17 +42,24 @@ class RNNoise:
 
     @classmethod
     def from_buffer(cls, blob: bytes,
-                    config: ModelConfig = DEFAULT_MODEL) -> "RNNoise":
-        return cls(load_model_bytes(blob, config), config)
+                    config: Optional[ModelConfig] = None) -> "RNNoise":
+        """config=None infers the topology from the blob
+        (weights.loader.infer_model_config)."""
+        from .weights.blob import parse_weights
+        from .weights.loader import infer_model_config, model_params_from_arrays
+        arrays = parse_weights(blob)
+        if config is None:
+            config = infer_model_config(arrays)
+        return cls(model_params_from_arrays(arrays, config), config)
 
     @classmethod
     def from_file(cls, f: IO[bytes],
-                  config: ModelConfig = DEFAULT_MODEL) -> "RNNoise":
+                  config: Optional[ModelConfig] = None) -> "RNNoise":
         return cls.from_buffer(f.read(), config)
 
     @classmethod
     def from_filename(cls, path: str,
-                      config: ModelConfig = DEFAULT_MODEL) -> "RNNoise":
+                      config: Optional[ModelConfig] = None) -> "RNNoise":
         with open(path, "rb") as f:
             return cls.from_file(f, config)
 

@@ -133,7 +133,8 @@ def _log_energy_follower(Ex: jax.Array) -> jax.Array:
 
 def compute_frame_features(state: DenoiseState, x: jax.Array,
                            training: bool = False,
-                           lowpass_bin: Optional[jax.Array] = None
+                           lowpass_bin: Optional[jax.Array] = None,
+                           exact_pitch_rank: bool = False,
                            ) -> Tuple[DenoiseState, FrameFeatures]:
     """x: [S, FRAME_SIZE] HP-filtered PCM.  Returns the updated state (analysis
     mem, pitch buffer, pitch continuity) and this frame's features.
@@ -146,7 +147,7 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
 
     ds = pitch_mod.pitch_downsample(pitch_buf)
     bx = pitch_mod.lag_corr_table(ds)     # shared by fine search + doubling
-    pitch = pitch_mod.pitch_search(ds, bx)
+    pitch = pitch_mod.pitch_search(ds, bx, exact_rank=exact_pitch_rank)
     pitch_index = PITCH_MAX_PERIOD - pitch
     T0, gain = pitch_mod.remove_doubling(ds, pitch_index, state.last_period,
                                          state.last_gain, bx)
@@ -263,7 +264,8 @@ def process_frame(params: Optional[ModelParams], state: DenoiseState,
     x, mem_hp = biquad_mod.biquad(pcm, state.mem_hp,
                                   tables.BIQUAD_HP_B, tables.BIQUAD_HP_A)
     state = state._replace(mem_hp=mem_hp)
-    state, ff = compute_frame_features(state, x)
+    state, ff = compute_frame_features(state, x,
+                                       exact_pitch_rank=rt.exact_pitch_rank)
     silence = ff.silence
 
     if params is not None:

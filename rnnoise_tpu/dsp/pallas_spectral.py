@@ -324,6 +324,20 @@ def _dif_inverse(Xp, A_hi, A_lo, B0_hi, B0_lo, Bj_hi, Bj_lo, tws, win):
 # pallas entry points
 # ---------------------------------------------------------------------------
 
+_MIN_BLOCK = 8     # f32 sublane tile: Mosaic mis-lays-out concats of <8-row
+                   # vectors ("result/input offset mismatch"), so small stream
+                   # counts are zero-padded up to one tile and sliced back.
+
+
+def _pad_streams(arrays, S):
+    """Zero-pad the leading (stream) axis of each array to a multiple of
+    _MIN_BLOCK.  Returns (padded_arrays, S_pad)."""
+    S_pad = max(_MIN_BLOCK, -(-S // _MIN_BLOCK) * _MIN_BLOCK)
+    if S_pad == S:
+        return tuple(arrays), S
+    return tuple(jnp.pad(a, ((0, S_pad - S),) + ((0, 0),) * (a.ndim - 1))
+                 for a in arrays), S_pad
+
 def _fwd_kernel(mem_ref, x_ref, buf_ref, start_ref, win_ref,
                 tc0, ts0, tc1, ts1, tc2, ts2, mch, mcl, mrh, mrl,
                 X_ref, P_ref, *, block):
@@ -344,8 +358,10 @@ def forward_spectral(mem: jax.Array, x: jax.Array, pitch_buf: jax.Array,
     from jax.experimental import pallas as pl
 
     S = x.shape[0]
-    block = min(block, S)
-    assert S % block == 0, (S, block)
+    (mem, x, pitch_buf, start), S_pad = _pad_streams(
+        (mem, x, pitch_buf, start), S)
+    block = min(block, S_pad)
+    assert S_pad % block == 0, (S_pad, block)
     win, tws, (mch, mcl), (mrh, mrl) = _fwd_consts()
     consts = [win, tws[0][0], tws[0][1], tws[1][0], tws[1][1],
               tws[2][0], tws[2][1], mch, mcl, mrh, mrl]
@@ -356,18 +372,19 @@ def forward_spectral(mem: jax.Array, x: jax.Array, pitch_buf: jax.Array,
     def const_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0))
 
-    return pl.pallas_call(
+    Xp, Pp = pl.pallas_call(
         functools.partial(_fwd_kernel, block=block),
-        grid=(S // block,),
+        grid=(S_pad // block,),
         in_specs=[row_spec(FRAME_SIZE), row_spec(FRAME_SIZE),
                   row_spec(PITCH_BUF_SIZE), row_spec(1)] +
                  [const_spec(a) for a in consts],
         out_specs=(row_spec(2 * PERM_WIDTH), row_spec(2 * PERM_WIDTH)),
-        out_shape=(jax.ShapeDtypeStruct((S, 2 * PERM_WIDTH), jnp.float32),
-                   jax.ShapeDtypeStruct((S, 2 * PERM_WIDTH), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((S_pad, 2 * PERM_WIDTH), jnp.float32),
+                   jax.ShapeDtypeStruct((S_pad, 2 * PERM_WIDTH), jnp.float32)),
         interpret=interpret,
     )(mem, x, pitch_buf, start.astype(jnp.int32)[:, None],
       *[jnp.asarray(a) for a in consts])
+    return Xp[:S], Pp[:S]
 
 
 def _inv_kernel(Xp_ref, Ah, Al, B0h, B0l, Bjh, Bjl,
@@ -384,8 +401,9 @@ def inverse_spectral(Xp: jax.Array, block: int = 512,
     from jax.experimental import pallas as pl
 
     S = Xp.shape[0]
-    block = min(block, S)
-    assert S % block == 0, (S, block)
+    (Xp,), S_pad = _pad_streams((Xp,), S)
+    block = min(block, S_pad)
+    assert S_pad % block == 0, (S_pad, block)
     (Ah, Al), (B0h, B0l), (Bjh, Bjl), tws, win = _inv_consts()
     consts = [Ah, Al, B0h, B0l, Bjh, Bjl,
               tws[0][0], tws[0][1], tws[1][0], tws[1][1],
@@ -397,12 +415,13 @@ def inverse_spectral(Xp: jax.Array, block: int = 512,
     def const_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0))
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _inv_kernel,
-        grid=(S // block,),
+        grid=(S_pad // block,),
         in_specs=[row_spec(2 * PERM_WIDTH)] +
                  [const_spec(a) for a in consts],
         out_specs=row_spec(WINDOW_SIZE),
-        out_shape=jax.ShapeDtypeStruct((S, WINDOW_SIZE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S_pad, WINDOW_SIZE), jnp.float32),
         interpret=interpret,
     )(Xp, *[jnp.asarray(a) for a in consts])
+    return out[:S]

@@ -84,6 +84,53 @@ def find_best_pitch(xcorr: jax.Array, syy: jax.Array):
     return i0, i1
 
 
+def find_best_pitch_exact(xcorr: jax.Array, y: jax.Array, length: int):
+    """Bit-exact sequential replica of find_best_pitch (pitch.c:44-102, float
+    build): the running Syy recurrence ``Syy = max(1, (Syy + y[i+len]^2) -
+    y[i]^2)``, the initial left-to-right f32 accumulation, and the
+    cross-multiplied top-2 comparisons ``num * best_den > best_num * Syy``
+    (strict, so earlier lags win ties) — instead of the vectorised
+    ratio ranking, whose division rounds differently in near-ties.
+
+    A lax.scan over lags (and one over the init sum): sequential by
+    construction, so this is a parity tool, not the throughput path
+    (RuntimeConfig.exact_pitch_rank, default off).
+    """
+    nlags = xcorr.shape[-1]
+    y2 = jnp.square(y)                                   # y[j]*y[j], f32
+
+    syy0, _ = jax.lax.scan(lambda s, t: (s + t, None),
+                           jnp.ones_like(y[:, 0]),
+                           jnp.swapaxes(y2[:, :length], 0, 1))
+
+    def step(carry, inp):
+        syy, num0, den0, i0, num1, den1, i1, i = carry
+        xc, ya2, yb2 = inp                               # y[i]^2, y[i+len]^2
+        num = jnp.square(xc * 1e-12)
+        ok = xc > 0
+        beats1 = ok & (num * den1 > num1 * syy)
+        beats0 = ok & (num * den0 > num0 * syy)
+        # demote best0 when beaten, else replace best1 when only it is beaten
+        num1n = jnp.where(beats0, num0, jnp.where(beats1, num, num1))
+        den1n = jnp.where(beats0, den0, jnp.where(beats1, syy, den1))
+        i1n = jnp.where(beats0, i0, jnp.where(beats1, i, i1))
+        num0n = jnp.where(beats0, num, num0)
+        den0n = jnp.where(beats0, syy, den0)
+        i0n = jnp.where(beats0, i, i0)
+        syy = jnp.maximum(1.0, (syy + yb2) - ya2)
+        return (syy, num0n, den0n, i0n, num1n, den1n, i1n, i + 1), None
+
+    S = xcorr.shape[0]
+    z = jnp.zeros((S,), jnp.float32)
+    init = (syy0, z - 1.0, z, jnp.zeros((S,), jnp.int32),
+            z - 1.0, z, jnp.ones((S,), jnp.int32), jnp.int32(0))
+    xs = (jnp.swapaxes(xcorr, 0, 1),
+          jnp.swapaxes(y2[:, :nlags], 0, 1),
+          jnp.swapaxes(y2[:, length:length + nlags], 0, 1))
+    (syy, num0, den0, i0, num1, den1, i1, _), _ = jax.lax.scan(step, init, xs)
+    return i0, i1
+
+
 def _take(a: jax.Array, idx: jax.Array) -> jax.Array:
     """a: [S, L], idx: [S] -> a[s, idx[s]] via one-hot (gathers are slow)."""
     return onehot_take(a, idx)
@@ -183,12 +230,16 @@ def lag_corr_table(x_lp: jax.Array) -> jax.Array:
     return batched_xcorr(x_lp[:, _X_OFF:_X_OFF + _N2], x_lp, _MAXP2 + 1)
 
 
-def pitch_search(x_lp: jax.Array, bx: Optional[jax.Array] = None) -> jax.Array:
+def pitch_search(x_lp: jax.Array, bx: Optional[jax.Array] = None,
+                 exact_rank: bool = False) -> jax.Array:
     """x_lp: [S, 864] whitened, decimated pitch buffer.
 
     Returns ``pitch`` (in 48 kHz sample units before the 768-minus flip), i.e.
     exactly what rnn_pitch_search writes into *pitch (pitch.c:281-385) when
     called with (x_lp+384, x_lp, 960, 588).
+
+    ``exact_rank`` selects find_best_pitch_exact (sequential bit-exact
+    ranking; RuntimeConfig.exact_pitch_rank).
     """
     max_pitch = _MAX_PITCH                           # 588
     len2, len4 = _N2, _N2 // 2                       # 480, 240
@@ -199,7 +250,10 @@ def pitch_search(x_lp: jax.Array, bx: Optional[jax.Array] = None) -> jax.Array:
 
     # Coarse search, 4x decimated.
     xc4 = batched_xcorr(x4, y4, nl4)
-    bp0, bp1 = find_best_pitch(xc4, _sliding_syy(y4, len4, nl4))
+    if exact_rank:
+        bp0, bp1 = find_best_pitch_exact(xc4, y4, len4)
+    else:
+        bp0, bp1 = find_best_pitch(xc4, _sliding_syy(y4, len4, nl4))
 
     # Fine search, 2x decimated, restricted to lags within 2 of 2*best.
     lags = jnp.arange(nl2, dtype=jnp.int32)[None, :]
@@ -209,7 +263,10 @@ def pitch_search(x_lp: jax.Array, bx: Optional[jax.Array] = None) -> jax.Array:
         bx = lag_corr_table(x_lp)
     xc2_full = bx[:, :nl2]
     xc2 = jnp.where(cand, jnp.maximum(-1.0, xc2_full), 0.0)
-    fb0, _ = find_best_pitch(xc2, _sliding_syy(x_lp, len2, nl2))
+    if exact_rank:
+        fb0, _ = find_best_pitch_exact(xc2, x_lp, len2)
+    else:
+        fb0, _ = find_best_pitch(xc2, _sliding_syy(x_lp, len2, nl2))
 
     # Pseudo-interpolation (pitch.c:368-384).
     a = _take(xc2, jnp.maximum(fb0 - 1, 0))

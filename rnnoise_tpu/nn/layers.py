@@ -68,6 +68,46 @@ def _sigmoid(x, approx):
     return sigmoid_approx(x) if approx else jax.nn.sigmoid(x)
 
 
+def lpcnet_exp2(x: jax.Array) -> jax.Array:
+    """Bit-trick 2**x (reference lpcnet_exp2, src/vec.h:316-332): cubic
+    polynomial on the fraction, exponent spliced into the float's exponent
+    field by integer addition.  Exact for the reference's generic C path."""
+    integer = jnp.floor(x)
+    frac = x - integer
+    poly = 0.99992522 + frac * (0.69583354
+           + frac * (0.22606716 + 0.078024523 * frac))
+    bits = jax.lax.bitcast_convert_type(poly.astype(jnp.float32), jnp.int32)
+    bits = (bits + (integer.astype(jnp.int32) << 23)) & 0x7FFFFFFF
+    res = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return jnp.where(integer < -50, 0.0, res)
+
+
+def lpcnet_exp(x: jax.Array) -> jax.Array:
+    """e**x via lpcnet_exp2 (src/vec.h:333)."""
+    return lpcnet_exp2(x * 1.44269504)
+
+
+def relu(x: jax.Array) -> jax.Array:
+    """src/nnet_arch.h:72-75."""
+    return jnp.maximum(x, 0.0)
+
+
+def swish(x: jax.Array) -> jax.Array:
+    """vec_swish (src/nnet_arch.h:62-69): x * sigmoid_approx(x).  The
+    reference uses the approximate sigmoid here even under HIGH_ACCURACY."""
+    return x * sigmoid_approx(x)
+
+
+def softmax(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Normalised exp-only softmax as compiled into compute_activation_c
+    (src/nnet_arch.h:105-119 *without* SOFTMAX_HACK — that macro is defined
+    only in the nnet.c TU, src/nnet.c:54, not in nnet_default.c where the
+    activation kernel lives).  exp is the lpcnet_exp bit trick, and the
+    normaliser adds 1e-30 before the reciprocal."""
+    y = lpcnet_exp(x)
+    return y * (1.0 / (jnp.sum(y, axis=axis, keepdims=True) + 1e-30))
+
+
 # ---------------------------------------------------------------------------
 # linear / dense
 # ---------------------------------------------------------------------------
@@ -104,10 +144,24 @@ def linear(p: LinearParams, x: jax.Array, quantized: bool) -> jax.Array:
 def dense(p: LinearParams, x: jax.Array, activation: str, quantized: bool,
           approx: bool) -> jax.Array:
     out = linear(p, x, quantized)
+    return apply_activation(out, activation, approx)
+
+
+def apply_activation(out: jax.Array, activation: str, approx: bool) -> jax.Array:
+    """Full activation set of compute_activation_c (src/nnet_arch.h:79-125,
+    names per src/nnet.h:34-39).  ``approx`` mirrors HIGH_ACCURACY, which
+    only affects sigmoid/tanh; swish and softmax always use the approximate
+    forms, relu and linear are exact either way."""
     if activation == "tanh":
         return _tanh(out, approx)
     if activation == "sigmoid":
         return _sigmoid(out, approx)
+    if activation == "relu":
+        return relu(out)
+    if activation == "swish":
+        return swish(out)
+    if activation == "softmax":
+        return softmax(out)
     if activation == "linear":
         return out
     raise ValueError(activation)

@@ -10,7 +10,9 @@ batch axis — see training/train.py).
 
 Everything goes through ``jax.sharding`` + ``jax.jit`` with explicit
 NamedSharding constraints, so the same code runs on 1 chip, a v5e-8 slice, or
-a multi-host pod (DCN only carries host↔device audio I/O).
+a multi-host pod — the multi-process path (jax.distributed.initialize +
+per-host audio assembly) lives in parallel/multihost.py and is proven by the
+two-process lock-step test in tests/test_multihost.py.
 """
 
 from __future__ import annotations

@@ -1,6 +1,26 @@
-"""RIR measurement by sweep deconvolution (reference scripts/rir_deconv.py).
+"""Room-impulse-response recovery from a recorded sweep session.
 
-Usage: python -m rnnoise_tpu.tools.rir_deconv recorded.wav out_rir.f32
+Role parity: the reference deconvolves a re-recorded log sweep into an RIR
+for training-data augmentation (scripts/rir_deconv.py).  Original method,
+built around the Farina analytic inverse filter from tools/sweep.py:
+
+ 1. SYNC — matched-filter the recording against the pilot chirp; the two
+    strongest, sufficiently-separated correlation peaks locate both pilots.
+ 2. DRIFT — the deviation of the measured peak spacing from the nominal
+    spacing IS the accumulated clock drift; the sweep segment is resampled
+    by that linear factor (the reference instead truncates by the drift).
+ 3. DECONVOLVE — convolve the synchronised sweep segment with the analytic
+    inverse filter.  The linear RIR lands at a known lag; harmonic
+    distortion products land strictly earlier and are cropped away (this
+    separation is the point of the Farina method — no regularised spectral
+    division, no 1/(1+|X|^2) bias).
+ 4. TRIM — onset at the first arrival above 1/50 of the direct peak; tail
+    where the Schroeder backward energy integral falls below the noise
+    floor measured from the pre-onset noise.
+ 5. Normalise to unit energy.
+
+Usage: python -m rnnoise_tpu.tools.rir_deconv recorded.wav out_rir.f32 \
+           [duration_s]
 """
 
 from __future__ import annotations
@@ -8,67 +28,126 @@ from __future__ import annotations
 import sys
 
 import numpy as np
-from numpy import fft
 
-from .sweep import compute_sweep
-
-
-def extract_sweep(pilot, y, pilot_len, sweep_len, silence_len):
-    pilot = np.concatenate([pilot, np.zeros(len(y) - len(pilot))])
-    N = fft.rfft(pilot)
-    Y = fft.rfft(y)
-    xcorr = fft.irfft(Y * np.conj(N))
-    pos = int(np.argmax(np.abs(xcorr[:sweep_len])))
-    pilot_offset = sweep_len + pilot_len + 2 * silence_len
-    pilot1 = y[pos:pos + pilot_len]
-    pilot2 = y[pilot_offset + pos:pilot_offset + pos + pilot_len]
-    drift_xcorr = fft.irfft(fft.rfft(pilot1) * np.conj(fft.rfft(pilot2)))
-    drift = int(np.argmax(np.abs(drift_xcorr)))
-    if drift > pilot_len // 2:
-        drift = drift - pilot_len
-    print(f"measured drift is {drift} samples "
-          f"({100 * drift / (pilot_len + sweep_len + 2 * silence_len)})%")
-    return y[pos + pilot_len + silence_len // 2:
-             pos + pilot_len + silence_len + sweep_len - drift
-             + silence_len // 2]
+from .sweep import SweepSpec, inverse_filter, pilot_chirp
 
 
-def deconv_rir(pilot, x, y, Fs=48000, duration=60):
-    from scipy import signal
-    pilot_len = Fs
-    sweep_len = Fs * duration
-    silence_len = Fs
-    y = extract_sweep(pilot, y, pilot_len, sweep_len, silence_len)
-    x = np.concatenate([x, np.zeros(sweep_len)])
-    y = np.concatenate([y, np.zeros(sweep_len - silence_len)])
-    X = fft.rfft(x)
-    Y = fft.rfft(y)
-    if len(Y) >= len(X):
-        Y = Y[:len(X)]
+def locate_pilots(y: np.ndarray, spec: SweepSpec) -> tuple[int, int]:
+    """Positions (sample onsets) of the two pilot chirps in the recording,
+    via matched filtering.  The second pilot is searched in a window around
+    its nominal offset from the first so a loud late reflection cannot
+    masquerade as it."""
+    from scipy.signal import fftconvolve
+    p = pilot_chirp(spec)
+    corr = np.abs(fftconvolve(y, p[::-1], mode="valid"))
+    spacing = spec.pilot_spacing
+    first_region = corr[: max(1, len(corr) - spacing)]
+    pos1 = int(np.argmax(first_region))
+    lo = pos1 + spacing - spec.gap_len // 2
+    hi = min(len(corr), pos1 + spacing + spec.gap_len // 2)
+    if lo >= len(corr):
+        raise ValueError("recording too short for the second pilot")
+    pos2 = lo + int(np.argmax(corr[lo:hi]))
+    return pos1, pos2
+
+
+def extract_sweep_segment(y: np.ndarray, spec: SweepSpec) -> np.ndarray:
+    """Synchronised, drift-compensated sweep segment (with half a gap of
+    context on each side so early reflections and onset are preserved)."""
+    from scipy.signal import resample
+    pos1, pos2 = locate_pilots(y, spec)
+    drift = (pos2 - pos1) - spec.pilot_spacing     # + = recording clock slow
+    # half a gap of pre-roll + sweep + 3/4 gap of tail: stops short of the
+    # second pilot, whose deconvolution image would pollute the RIR tail.
+    total = spec.gap_len // 2 + spec.sweep_len + (3 * spec.gap_len) // 4 \
+        + abs(drift)
+    start = pos1 + spec.pilot_len + spec.gap_len // 2
+    seg = np.asarray(y[start:start + total], dtype=np.float64)
+    print(f"pilot spacing {pos2 - pos1} samples, drift {drift} "
+          f"({100.0 * drift / spec.pilot_spacing:.4f}%)")
+    if drift != 0:
+        # Linear clock-rate correction: stretch the whole segment by the
+        # measured ratio so the sweep matches the reference excitation.
+        n_target = int(round(len(seg) * spec.pilot_spacing
+                             / (spec.pilot_spacing + drift)))
+        seg = resample(seg, n_target)
+    return seg
+
+
+def deconvolve(seg: np.ndarray, spec: SweepSpec) -> np.ndarray:
+    """Convolve with the analytic inverse filter and keep the causal part.
+
+    In conv(seg, inv), the linear RIR starts at lag (sweep_len - 1 +
+    gap_len/2 - pre-roll); everything earlier holds harmonic-distortion
+    images and is discarded."""
+    from scipy.signal import fftconvolve
+    h = fftconvolve(seg, inverse_filter(spec))
+    # seg begins gap_len/2 before the sweep onset; the impulse of a perfect
+    # loopback therefore lands at sweep_len - 1 + gap_len/2.  Keep a short
+    # pre-roll for the onset detector.
+    pre_roll = spec.gap_len // 4
+    t0 = spec.sweep_len - 1 + spec.gap_len // 2 - pre_roll
+    return h[t0:t0 + spec.gap_len + spec.sweep_len // 4]
+
+
+def trim_rir(h: np.ndarray, spec: SweepSpec,
+             onset_ratio: float = 0.02,
+             tail_margin_db: float = 10.0) -> np.ndarray:
+    """Crop to [first arrival, noise floor] and normalise to unit energy.
+
+    Tail: Schroeder backward integration E[n] = sum_{m>=n} h[m]^2 decays
+    linearly (in dB) for a diffuse tail; the RIR ends where E drops within
+    ``tail_margin_db`` of the measurement's noise energy (estimated from
+    the pre-onset samples)."""
+    a = np.abs(h)
+    direct = int(np.argmax(a))
+    peak = a[direct]
+    onset_candidates = np.nonzero(a[:direct + 1] >= onset_ratio * peak)[0]
+    onset = int(onset_candidates[0]) if len(onset_candidates) else direct
+
+    noise_pow = float(np.mean(h[:max(1, onset - spec.fs // 100)] ** 2)) \
+        if onset > spec.fs // 100 else 0.0
+    tail = h[onset:]
+    edc = np.cumsum(tail[::-1] ** 2)[::-1]          # Schroeder integral
+    if noise_pow > 0:
+        # Cut at the first point where the REMAINING energy over the
+        # remaining support is indistinguishable from measurement noise
+        # (within tail_margin_db) — keeping everything after that only adds
+        # noise to the estimate.
+        n_left = np.arange(len(edc), 0, -1)
+        margin = 10.0 ** (tail_margin_db / 10.0)
+        below = np.nonzero(edc <= margin * noise_pow * n_left)[0]
+        end = max(int(below[0]), 1) if len(below) else len(tail)
     else:
-        Y = np.concatenate([Y, np.zeros(len(X) - len(Y))])
-    rir = fft.irfft(Y * np.conj(X) / (1.0 + X * np.conj(X)))
-    direct = np.max(np.abs(rir))
-    direct_pos = np.argmax(np.abs(rir))
-    crop_pos = np.argwhere(np.abs(rir[:direct_pos + 1]) > .02 * direct)[0][0]
-    rir = rir[crop_pos:]
-    noise_floor = np.mean(rir[Fs * 10:Fs * 20] ** 2)
-    smoothed = signal.lfilter(np.array([.002]), np.array([1, -.998]),
-                              rir[:Fs * 10] ** 2)
-    rir_length = np.argwhere(smoothed > 15 * noise_floor)[-1][0]
-    rir = rir[:rir_length]
+        end = len(tail)
+    rir = tail[:end]
     return rir / np.sqrt(np.sum(rir ** 2))
 
 
-def main():
+def measure_rir(recording: np.ndarray, spec: SweepSpec) -> np.ndarray:
+    """Full pipeline: recorded session -> trimmed, unit-energy RIR."""
+    seg = extract_sweep_segment(recording, spec)
+    return trim_rir(deconvolve(seg, spec), spec)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 2:
+        print(__doc__)
+        return 1
     from scipy.io import wavfile
-    duration = 60
-    sine = compute_sweep(duration)
-    _, mic = wavfile.read(sys.argv[1])
-    pilot = compute_sweep(1.0)
-    rir = deconv_rir(pilot, sine, mic, duration=duration)
-    rir.astype("float32").tofile(sys.argv[2])
+    duration = float(argv[2]) if len(argv) > 2 else 60.0
+    spec = SweepSpec(duration=duration)
+    fs, mic = wavfile.read(argv[0])
+    if fs != spec.fs:
+        raise ValueError(f"expected {spec.fs} Hz recording, got {fs}")
+    if mic.ndim > 1:
+        mic = mic[:, 0]
+    rir = measure_rir(mic.astype(np.float64), spec)
+    rir.astype(np.float32).tofile(argv[1])
+    print(f"wrote {len(rir)} samples ({len(rir) / spec.fs:.2f} s)")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

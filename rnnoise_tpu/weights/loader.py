@@ -75,8 +75,21 @@ def _linear_from_arrays(arrays, name, nb_in, nb_out, *, quantized, sparse,
                         diag=diag)
 
 
+def infer_model_config(arrays: Dict[str, WeightArray]) -> ModelConfig:
+    """Recover the topology from the blob itself: cond = |conv1 bias|,
+    gru = |conv2 bias| (conv2 feeds the GRU stack, src/rnn.c:44-55).  The
+    reference cannot do this (its dims are compiled into rnnoise_data.h);
+    here it makes any exported blob loadable without a config."""
+    c = int(_get(arrays, "conv1_bias").size)
+    g = int(_get(arrays, "conv2_bias").size)
+    return ModelConfig(cond_size=c, gru_size=g)
+
+
 def model_params_from_arrays(arrays: Dict[str, WeightArray],
-                             config: ModelConfig = DEFAULT_MODEL) -> ModelParams:
+                             config: Optional[ModelConfig] = DEFAULT_MODEL,
+                             ) -> ModelParams:
+    if config is None:
+        config = infer_model_config(arrays)
     c, g, k = config.cond_size, config.gru_size, config.conv_kernel
     f, nb = config.input_dim, config.output_dim
     layers = {}

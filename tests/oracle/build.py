@@ -29,7 +29,7 @@ _CFLAGS = ["-O2", "-g", "-fPIC", "-U__SSE2__", "-U__AVX__", "-fvisibility=defaul
            "-I" + SRC, "-I" + os.path.join(REF, "include"), "-I" + BUILD,
            "-I" + HERE]
 
-_STAMP = os.path.join(BUILD, ".stamp-v3")
+_STAMP = os.path.join(BUILD, ".stamp-v4")
 
 
 def _run(cmd, **kw):

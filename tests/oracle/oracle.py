@@ -44,6 +44,8 @@ class Oracle:
             ("oracle_compute_rnn", None, [ct.c_void_p, _f32p, _f32p, _f32p]),
             ("oracle_pitch_filter", None,
              [_f32p, _f32p, _f32p, _f32p, _f32p, _f32p]),
+            ("oracle_compute_activation", None,
+             [_f32p, _f32p, ct.c_int, ct.c_int]),
             ("rnn_biquad", None,
              [_f32p, _f32p, _f32p, _f32p, _f32p, ct.c_int]),
             ("rnnoise_model_from_buffer", ct.c_void_p,
@@ -138,6 +140,14 @@ class Oracle:
             np.ascontiguousarray(Exp, np.float32),
             np.ascontiguousarray(g, np.float32))
         return xri[0::2] + 1j * xri[1::2]
+
+    def compute_activation(self, x: np.ndarray, activation: int) -> np.ndarray:
+        """compute_activation_c (src/nnet_arch.h:79-125); activation codes
+        per src/nnet.h:34-39 (0=linear..5=swish)."""
+        x = np.ascontiguousarray(x, np.float32)
+        out = np.zeros_like(x)
+        self._lib.oracle_compute_activation(out, x, len(x), int(activation))
+        return out
 
     # -- stateful oracle stream -------------------------------------------
     def create_state(self, blob: bytes = None) -> "OracleStream":

@@ -114,3 +114,8 @@ EXPORT void oracle_pitch_filter(float *X_ri, const float *P_ri,
   rnn_pitch_filter(X, P, Ex, Ep, Exp, g);
   for (i = 0; i < FREQ_SIZE; i++) { X_ri[2*i] = X[i].r; X_ri[2*i+1] = X[i].i; }
 }
+
+EXPORT void oracle_compute_activation(float *output, const float *input,
+                                      int N, int activation) {
+  compute_activation_c(output, input, N, activation);
+}

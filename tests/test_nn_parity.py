@@ -75,3 +75,33 @@ def test_gain_range(model_params, rng):
     state, g, vad = compute_rnn(model_params, state, f, rt)
     assert np.all(np.asarray(g) >= 0) and np.all(np.asarray(g) <= 1)
     assert np.all(np.asarray(vad) >= 0) and np.all(np.asarray(vad) <= 1)
+
+
+def test_activation_set_matches_c_runtime(oracle_int8):
+    """Full compute_activation_c set (src/nnet_arch.h:79-125): linear,
+    sigmoid, tanh, relu, softmax (normalised lpcnet_exp — SOFTMAX_HACK is
+    NOT defined in the nnet_default.c TU), swish.  Exact match expected:
+    every op is rational-polynomial / bit-trick arithmetic."""
+    from rnnoise_tpu.nn.layers import apply_activation, lpcnet_exp
+
+    x = np.concatenate([
+        np.linspace(-20, 20, 801, dtype=np.float32),
+        np.array([-1e-30, 1e-30, -0.0, 0.0, -87.0, 87.0], np.float32),
+    ])
+    # swish = x * sigmoid_approx(x): gcc contracts the rational polynomial to
+    # FMAs (-ffp-contract=fast is its default at -O2), a 1-ulp tanh delta
+    # that the |x| factor scales to ~1e-6 absolute at |x|=20.
+    codes = {"linear": (0, 2e-7), "sigmoid": (1, 2e-7), "tanh": (2, 2e-7),
+             "relu": (3, 2e-7), "softmax": (4, 2e-7), "swish": (5, 2e-6)}
+    for name, (code, atol) in codes.items():
+        ours = np.asarray(jax.jit(
+            lambda v, n=name: apply_activation(v, n, approx=True)
+        )(jnp.asarray(x)))
+        ref = oracle_int8.compute_activation(x, code)
+        np.testing.assert_allclose(ours, ref, rtol=0, atol=atol,
+                                   err_msg=name)
+
+    # lpcnet_exp bit-trick itself (vec.h:316-333): ~4e-4 relative accuracy.
+    e = np.asarray(lpcnet_exp(jnp.linspace(-30, 10, 1001)))
+    np.testing.assert_allclose(e, np.exp(np.linspace(-30, 10, 1001)),
+                               rtol=6e-4)

@@ -98,3 +98,39 @@ def test_pitch_chain_many_frames(oracle_int8, rng):
     # Marginal ranking comparisons may rarely flip a candidate; require the
     # chain to stay in lock-step on virtually all frames.
     assert n_mismatch <= 2, f"{n_mismatch} pitch mismatches over 120 frames"
+
+
+def test_pitch_chain_exact_rank_zero_mismatches(oracle_int8, rng):
+    """With exact_rank, find_best_pitch's cross-multiplied sequential ranking
+    (pitch.c:44-102) is replicated bit-exactly, so the 120-frame chain must
+    match the oracle on EVERY frame (the default ratio ranking is allowed
+    rare near-tie flips, test above)."""
+    sig = speechlike(rng, 480 * 120, f0=130.0, noise=0.1)
+    t = np.arange(480 * 60) / 48000.0
+    sweep = 3000 * np.sin(2 * np.pi * (100 + 60 * t) * t)
+    sig[480 * 30: 480 * 90] += sweep.astype(np.float32)
+
+    @jax.jit
+    def step(buf, pp, pg):
+        ds = pm.pitch_downsample(buf)
+        pi = PITCH_MAX_PERIOD - pm.pitch_search(ds, exact_rank=True)
+        return pm.remove_doubling(ds, pi, pp, pg)
+
+    buf = np.zeros(PITCH_BUF_SIZE, np.float32)
+    pp_c, pg_c = 0, 0.0
+    pp_j = jnp.zeros((1,), jnp.int32)
+    pg_j = jnp.zeros((1,), jnp.float32)
+    mismatches = []
+    for f in range(120):
+        frame = sig[f * 480:(f + 1) * 480]
+        buf = np.concatenate([buf[480:], frame])
+        ds_c = oracle_int8.pitch_downsample(buf)
+        pi_c = PITCH_MAX_PERIOD - oracle_int8.pitch_search(ds_c)
+        T_c, g_c = oracle_int8.remove_doubling(ds_c, pi_c, pp_c, pg_c)
+        pp_c, pg_c = T_c, g_c
+
+        T_j, g_j = step(jnp.asarray(buf)[None], pp_j, pg_j)
+        pp_j, pg_j = T_j, g_j
+        if int(np.asarray(T_j)[0]) != T_c:
+            mismatches.append((f, int(np.asarray(T_j)[0]), T_c))
+    assert not mismatches, f"pitch mismatches with exact_rank: {mismatches}"
