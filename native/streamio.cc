@@ -2,18 +2,29 @@
 //
 // Role: the host-side, latency-critical bookkeeping around the batched TPU
 // compute step — per-stream PCM ring buffers, frame assembly into contiguous
-// [S, 480] float batches (with int16 -> float conversion), active-slot
+// [S, T, 480] float batches (with int16 -> float conversion), active-slot
 // masking for attach/detach without recompilation, and scatter of processed
 // frames back to per-stream output rings.  This is the TPU-native analogue of
 // the reference's per-stream C state handling (rnnoise_create /
 // rnnoise_process_frame, reference src/denoise.c:311-321, 457-504), redesigned
 // around a stream *pool* feeding one batched compute graph.
 //
+// Throughput design: ring push/pop move whole spans with memcpy (at most two
+// per call, around the wrap point); assemble/commit convert directly between
+// ring storage and the batch tensor (no staging copy) and fan the slot loop
+// out over a persistent thread pool — at 4096 streams x 8 frames a tick moves
+// ~94 MB, which must overlap the device step (see StreamingEngine pipelining).
+//
 // Exposed as a flat C ABI consumed via ctypes (rnnoise_tpu/runtime/native.py).
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
-#include <cstring>
 #include <cstdlib>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -33,21 +44,137 @@ struct Ring {
   size_t push(const int16_t* src, size_t n) {
     size_t space = data.size() - size;
     if (n > space) n = space;
-    for (size_t i = 0; i < n; i++) {
-      data[tail] = src[i];
-      tail = (tail + 1) % data.size();
-    }
+    size_t first = data.size() - tail;
+    if (first > n) first = n;
+    memcpy(data.data() + tail, src, first * sizeof(int16_t));
+    memcpy(data.data(), src + first, (n - first) * sizeof(int16_t));
+    tail = (tail + n) % data.size();
     size += n;
     return n;
   }
   size_t pop(int16_t* dst, size_t n) {
     if (n > size) n = size;
-    for (size_t i = 0; i < n; i++) {
-      dst[i] = data[head];
-      head = (head + 1) % data.size();
-    }
+    size_t first = data.size() - head;
+    if (first > n) first = n;
+    memcpy(dst, data.data() + head, first * sizeof(int16_t));
+    if (n > first) memcpy(dst + first, data.data(), (n - first) * sizeof(int16_t));
+    head = (head + n) % data.size();
     size -= n;
     return n;
+  }
+  // Pop n samples, converting to float straight into dst (two spans max).
+  size_t pop_f32(float* dst, size_t n) {
+    if (n > size) n = size;
+    size_t first = data.size() - head;
+    if (first > n) first = n;
+    const int16_t* a = data.data() + head;
+    for (size_t i = 0; i < first; i++) dst[i] = (float)a[i];
+    const int16_t* b = data.data();
+    for (size_t i = first; i < n; i++) dst[i] = (float)b[i - first];
+    head = (head + n) % data.size();
+    size -= n;
+    return n;
+  }
+  // Push n samples, converting from float (round half away from zero,
+  // clamp to int16 like the reference demo, rnnoise_demo.c:58).
+  size_t push_f32(const float* src, size_t n) {
+    size_t space = data.size() - size;
+    if (n > space) n = space;
+    size_t first = data.size() - tail;
+    if (first > n) first = n;
+    int16_t* a = data.data() + tail;
+    for (size_t i = 0; i < first; i++) {
+      float v = src[i];
+      v = v > 0 ? v + 0.5f : v - 0.5f;
+      if (v > 32767.f) v = 32767.f;
+      if (v < -32768.f) v = -32768.f;
+      a[i] = (int16_t)v;
+    }
+    int16_t* b = data.data();
+    for (size_t i = first; i < n; i++) {
+      float v = src[i];
+      v = v > 0 ? v + 0.5f : v - 0.5f;
+      if (v > 32767.f) v = 32767.f;
+      if (v < -32768.f) v = -32768.f;
+      b[i - first] = (int16_t)v;
+    }
+    tail = (tail + n) % data.size();
+    size += n;
+    return n;
+  }
+};
+
+// Minimal persistent thread pool: parallel_for over slot ranges.
+struct Pool {
+  std::vector<std::thread> workers;
+  std::mutex m;
+  std::condition_variable cv, done_cv;
+  std::function<void(int, int)> job;  // [begin, end)
+  int n_chunks = 0;
+  std::atomic<int> next{0};
+  std::atomic<int> remaining{0};
+  int chunk = 0, total = 0;
+  uint64_t generation = 0;
+  bool stop = false;
+
+  explicit Pool(int n_threads) {
+    for (int i = 0; i < n_threads; i++) {
+      workers.emplace_back([this] { worker(); });
+    }
+  }
+  ~Pool() {
+    {
+      std::lock_guard<std::mutex> lk(m);
+      stop = true;
+    }
+    cv.notify_all();
+    for (auto& w : workers) w.join();
+  }
+  void worker() {
+    uint64_t seen = 0;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(m);
+        cv.wait(lk, [&] { return stop || generation != seen; });
+        if (stop) return;
+        seen = generation;
+      }
+      for (;;) {
+        int c = next.fetch_add(1);
+        if (c >= n_chunks) break;
+        int b = c * chunk;
+        int e = b + chunk < total ? b + chunk : total;
+        job(b, e);
+        if (remaining.fetch_sub(1) == 1) done_cv.notify_one();
+      }
+    }
+  }
+  void parallel_for(int n, std::function<void(int, int)> f) {
+    if (n <= 0) return;
+    int nthreads = (int)workers.size() + 1;
+    chunk = (n + 4 * nthreads - 1) / (4 * nthreads);
+    if (chunk < 1) chunk = 1;
+    n_chunks = (n + chunk - 1) / chunk;
+    total = n;
+    job = std::move(f);
+    next.store(0);
+    remaining.store(n_chunks);
+    {
+      std::lock_guard<std::mutex> lk(m);
+      generation++;
+    }
+    cv.notify_all();
+    // participate
+    for (;;) {
+      int c = next.fetch_add(1);
+      if (c >= n_chunks) break;
+      int b = c * chunk;
+      int e = b + chunk < total ? b + chunk : total;
+      job(b, e);
+      if (remaining.fetch_sub(1) == 1) done_cv.notify_one();
+    }
+    std::unique_lock<std::mutex> lk(m);
+    done_cv.wait(lk, [&] { return remaining.load() == 0; });
   }
 };
 
@@ -58,6 +185,7 @@ struct StreamPool {
   std::vector<Ring> out_rings;
   std::vector<uint8_t> active;
   std::vector<uint8_t> needs_reset;  // slot was (re)attached; device state must re-init
+  Pool* threads = nullptr;
 };
 
 }  // namespace
@@ -76,10 +204,17 @@ StreamPool* rnnt_pool_create(int n_slots, int ring_frames) {
     p->in_rings[i].reset((size_t)ring_frames * kFrameSize);
     p->out_rings[i].reset((size_t)ring_frames * kFrameSize);
   }
+  int hw = (int)std::thread::hardware_concurrency();
+  int nt = hw > 2 ? hw - 2 : 1;     // leave headroom for the device runtime
+  if (nt > 16) nt = 16;
+  p->threads = new Pool(nt - 1 > 0 ? nt - 1 : 1);
   return p;
 }
 
-void rnnt_pool_destroy(StreamPool* p) { delete p; }
+void rnnt_pool_destroy(StreamPool* p) {
+  delete p->threads;
+  delete p;
+}
 
 int rnnt_pool_n_slots(const StreamPool* p) { return p->n_slots; }
 
@@ -118,6 +253,46 @@ int64_t rnnt_pool_available(const StreamPool* p, int slot) {
   return (int64_t)p->out_rings[slot].size;
 }
 
+// Bulk ingest: push n_per_slot samples into every ACTIVE slot from a
+// contiguous [S, n_per_slot] int16 matrix (slot-major).  The per-slot
+// entry points stay for packet-at-a-time servers (they are ~100 ns each
+// from C); this is the zero-Python-overhead path for full-batch feeders.
+// Returns the number of slots fed.
+int rnnt_pool_push_all(StreamPool* p, const int16_t* pcm,
+                       int64_t n_per_slot) {
+  std::atomic<int> fed{0};
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    int local = 0;
+    for (int s = b; s < e; s++) {
+      if (!p->active[s]) continue;
+      p->in_rings[s].push(pcm + (size_t)s * n_per_slot, (size_t)n_per_slot);
+      local++;
+    }
+    fed.fetch_add(local);
+  });
+  return fed.load();
+}
+
+// Bulk drain: pop up to n_per_slot samples per slot into [S, n_per_slot]
+// (short reads zero-filled).  Returns the number of slots that produced a
+// full n_per_slot.
+int rnnt_pool_pull_all(StreamPool* p, int16_t* pcm, int64_t n_per_slot) {
+  std::atomic<int> full{0};
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    int local = 0;
+    for (int s = b; s < e; s++) {
+      int16_t* dst = pcm + (size_t)s * n_per_slot;
+      size_t got = p->out_rings[s].pop(dst, (size_t)n_per_slot);
+      if (got < (size_t)n_per_slot)
+        memset(dst + got, 0, ((size_t)n_per_slot - got) * sizeof(int16_t));
+      else
+        local++;
+    }
+    full.fetch_add(local);
+  });
+  return full.load();
+}
+
 // Assemble `t_frames` frames for every slot into batch[S, T, 480] f32.
 // All-or-nothing per slot: a slot yields exactly t_frames whole frames or 0
 // (partial takes would have to be re-queued, which corrupts ordering when a
@@ -127,23 +302,23 @@ int64_t rnnt_pool_available(const StreamPool* p, int slot) {
 void rnnt_pool_assemble(StreamPool* p, int t_frames, float* batch,
                         int32_t* frame_counts, uint8_t* reset_mask) {
   const size_t frame_elems = (size_t)t_frames * kFrameSize;
-  std::vector<int16_t> tmp(frame_elems);
-  for (int s = 0; s < p->n_slots; s++) {
-    float* dst = batch + (size_t)s * frame_elems;
-    reset_mask[s] = p->needs_reset[s];
-    p->needs_reset[s] = 0;
-    int take = 0;
-    if (p->active[s]) {
-      size_t whole = p->in_rings[s].size / kFrameSize;
-      take = (whole >= (size_t)t_frames) ? t_frames : 0;
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    for (int s = b; s < e; s++) {
+      float* dst = batch + (size_t)s * frame_elems;
+      reset_mask[s] = p->needs_reset[s];
+      p->needs_reset[s] = 0;
+      int take = 0;
+      if (p->active[s]) {
+        size_t whole = p->in_rings[s].size / kFrameSize;
+        take = (whole >= (size_t)t_frames) ? t_frames : 0;
+      }
+      frame_counts[s] = take;
+      size_t got =
+          take ? p->in_rings[s].pop_f32(dst, (size_t)take * kFrameSize) : 0;
+      if (got < frame_elems)
+        memset(dst + got, 0, (frame_elems - got) * sizeof(float));
     }
-    frame_counts[s] = take;
-    size_t got = take ? p->in_rings[s].pop(tmp.data(), (size_t)take * kFrameSize)
-                      : 0;
-    size_t i = 0;
-    for (; i < got; i++) dst[i] = (float)tmp[i];
-    for (; i < frame_elems; i++) dst[i] = 0.0f;
-  }
+  });
 }
 
 // Scatter processed frames (batch[S, T, 480] f32) back into output rings,
@@ -152,21 +327,14 @@ void rnnt_pool_assemble(StreamPool* p, int t_frames, float* batch,
 void rnnt_pool_commit(StreamPool* p, int t_frames, const float* batch,
                       const int32_t* frame_counts) {
   const size_t frame_elems = (size_t)t_frames * kFrameSize;
-  std::vector<int16_t> tmp(frame_elems);
-  for (int s = 0; s < p->n_slots; s++) {
-    int take = frame_counts[s];
-    if (take <= 0) continue;
-    const float* src = batch + (size_t)s * frame_elems;
-    size_t n = (size_t)take * kFrameSize;
-    for (size_t i = 0; i < n; i++) {
-      float v = src[i];
-      v = v > 0 ? v + 0.5f : v - 0.5f;  // round half away from zero
-      if (v > 32767.f) v = 32767.f;
-      if (v < -32768.f) v = -32768.f;
-      tmp[i] = (int16_t)v;
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    for (int s = b; s < e; s++) {
+      int take = frame_counts[s];
+      if (take <= 0) continue;
+      const float* src = batch + (size_t)s * frame_elems;
+      p->out_rings[s].push_f32(src, (size_t)take * kFrameSize);
     }
-    p->out_rings[s].push(tmp.data(), n);
-  }
+  });
 }
 
 // ---------------------------------------------------------------------------

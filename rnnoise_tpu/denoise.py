@@ -264,6 +264,13 @@ def process_frame(params: Optional[ModelParams], state: DenoiseState,
     x, mem_hp = biquad_mod.biquad(pcm, state.mem_hp,
                                   tables.BIQUAD_HP_B, tables.BIQUAD_HP_A)
     state = state._replace(mem_hp=mem_hp)
+    return _process_frame_hp(params, state, x, rt)
+
+
+def _process_frame_hp(params: Optional[ModelParams], state: DenoiseState,
+                      x: jax.Array, rt: RuntimeConfig):
+    """process_frame after the HP biquad (x already filtered) — the scan body
+    of process_frames, which hoists the biquad out of the frame loop."""
     state, ff = compute_frame_features(state, x,
                                        exact_pitch_rank=rt.exact_pitch_rank)
     silence = ff.silence
@@ -277,25 +284,35 @@ def process_frame(params: Optional[ModelParams], state: DenoiseState,
         vad = jnp.where(silence, 0.0, vad)
     else:
         rnn_state = state.rnn
-        g = jnp.ones((pcm.shape[0], NB_BANDS), jnp.float32)
-        vad = jnp.zeros((pcm.shape[0],), jnp.float32)
+        g = jnp.ones((x.shape[0], NB_BANDS), jnp.float32)
+        vad = jnp.zeros((x.shape[0],), jnp.float32)
 
     # Pitch-filter + apply gains to the *previous* frame's spectrum.
-    delayed_X = _to_complex(state.delayed_X)
-    delayed_P = _to_complex(state.delayed_P)
-    Xd = pitch_filter(delayed_X, delayed_P, state.delayed_Ex,
-                      state.delayed_Ep, state.delayed_Exp, g)
-    g_capped = jnp.maximum(g, 0.6 * state.lastg)
-    lastg = jnp.minimum(1.0, g_capped * (state.delayed_Ex + 1e-3)
-                        / (ff.Ex + 1e-3))
-    gf = interp_band_gain(g_capped, width=delayed_X.shape[-1])
-    Xd = Xd * gf
+    from .dsp import pallas_spectral
+    if pallas_spectral.postfilter_enabled() and \
+            state.delayed_X.shape[-1] == 2 * pallas_spectral.PERM_WIDTH:
+        # One fused kernel for the whole delayed-frame tail: comb filter,
+        # renormalisation, gain cap/apply, silence blend, inverse DFT, OLA.
+        out, synthesis_mem, lastg = pallas_spectral.postfilter_synthesis(
+            state.delayed_X, state.delayed_P, state.delayed_Ex,
+            state.delayed_Ep, state.delayed_Exp, g, state.lastg, ff.Ex,
+            silence, state.synthesis_mem)
+    else:
+        delayed_X = _to_complex(state.delayed_X)
+        delayed_P = _to_complex(state.delayed_P)
+        Xd = pitch_filter(delayed_X, delayed_P, state.delayed_Ex,
+                          state.delayed_Ep, state.delayed_Exp, g)
+        g_capped = jnp.maximum(g, 0.6 * state.lastg)
+        lastg = jnp.minimum(1.0, g_capped * (state.delayed_Ex + 1e-3)
+                            / (ff.Ex + 1e-3))
+        gf = interp_band_gain(g_capped, width=delayed_X.shape[-1])
+        Xd = Xd * gf
 
-    sil = silence[:, None]
-    X_synth = jnp.where(sil, delayed_X, Xd)
-    lastg = jnp.where(sil, state.lastg, lastg)
+        sil = silence[:, None]
+        X_synth = jnp.where(sil, delayed_X, Xd)
+        lastg = jnp.where(sil, state.lastg, lastg)
 
-    synthesis_mem, out = frame_synthesis(state.synthesis_mem, X_synth)
+        synthesis_mem, out = frame_synthesis(state.synthesis_mem, X_synth)
 
     new_state = state._replace(
         synthesis_mem=synthesis_mem,
@@ -313,10 +330,24 @@ def process_frames(params: Optional[ModelParams], state: DenoiseState,
 
     Returns (new_state, out[S, T, FRAME_SIZE], vad[S, T]).
     """
+    # NOTE an alternative that hoists the biquad out of the loop
+    # (biquad_chunk: one [S*T, 480] kernel matmul + tiny state scan) measured
+    # a consistent ~4% SLOWER at S=4096/T=100 on v5e: the extra HBM round
+    # trip of the materialised filtered chunk outweighs the batched-matmul
+    # win.  Kept in dsp/biquad.py (bit-matching test) for shorter-T serving
+    # shapes where the trade flips.
     def step(st, frame):
         st, out, vad = process_frame(params, st, frame, rt)
         return st, (out, vad)
 
+    # unroll=2: XLA copies the loop-carried state once per scan iteration,
+    # so pairing frames halves that traffic (+5% streams on v5e; unroll=4
+    # regresses — scheduling/VMEM pressure).  TPU-only: on CPU the doubled
+    # scan body buys nothing and doubles compile time for every test (the
+    # checkify-wrapped pipeline went from ~3 to ~15 min).
+    T = pcm.shape[1]
+    unroll = 2 if (T % 2 == 0 and jax.default_backend() == "tpu") else 1
     state, (out, vad) = jax.lax.scan(step, state,
-                                     jnp.moveaxis(pcm, 1, 0))
+                                     jnp.moveaxis(pcm, 1, 0),
+                                     unroll=unroll)
     return state, jnp.moveaxis(out, 0, 1), jnp.moveaxis(vad, 0, 1)

@@ -71,6 +71,27 @@ def fused_enabled() -> bool:
     return jax.default_backend() == "tpu" and _use_matmul()
 
 
+# The fused post-filter/synthesis mega-kernel (postfilter_synthesis).
+# Measured on v5e at S=4096 (r2): ~3% SLOWER in-pipeline than the XLA
+# formulation it replaces — XLA overlaps the small post-filter fusions with
+# the rest of the frame, while the monolithic kernel serialises them.
+# Kept "off" by default as a validated alternative; flip to re-measure on
+# newer toolchains.
+_POSTFILTER = "off"          # "auto"/"on" | "off"
+
+
+def set_postfilter(mode: str) -> None:
+    global _POSTFILTER
+    assert mode in ("auto", "on", "off")
+    _POSTFILTER = mode
+
+
+def postfilter_enabled() -> bool:
+    if _POSTFILTER == "off":
+        return False
+    return fused_enabled()
+
+
 # ---------------------------------------------------------------------------
 # permutation bookkeeping
 # ---------------------------------------------------------------------------
@@ -129,60 +150,77 @@ def _twiddle(L: int):
             np.sin(ang).astype(np.float32)[None, :])
 
 
+def _fwd_leaf_matrices(leaf: int, tgroup: int, scale: float):
+    """bf16-split forward leaf DFT matrices for a 3-level DIF radix-2
+    factorization with leaves of ``leaf`` samples, keeping ``tgroup`` bins
+    per leaf, with ``scale`` folded in (complex-leaf [2*leaf, 2*tgroup] and
+    real-leaf [leaf, 2*tgroup])."""
+    m = np.arange(leaf)[:, None]
+    t = np.arange(tgroup)[None, :]
+    th = 2.0 * np.pi * m * t / leaf
+    C = (np.cos(th) * scale).astype(np.float32)
+    S = (np.sin(th) * scale).astype(np.float32)
+    # complex leaf: [re|im] @ [[C, -S], [S, C]] -> [re|im] of tgroup bins
+    Mc = np.block([[C, -S], [S, C]]).astype(np.float32)
+    Mr = np.concatenate([C, -S], axis=1).astype(np.float32)
+    return _bf16_split(Mc), _bf16_split(Mr)
+
+
 @functools.lru_cache(maxsize=None)
 def _fwd_consts():
     """Window row, butterfly twiddles, and bf16-split leaf DFT matrices."""
     win = tables.full_window().astype(np.float32)[None, :]
     tws = [_twiddle(L) for L in (960, 480, 240)]
-    m = np.arange(_LEAF)[:, None]
-    t = np.arange(_TGROUP)[None, :]
-    th = 2.0 * np.pi * m * t / _LEAF
-    C = (np.cos(th) / WINDOW_SIZE).astype(np.float32)
-    S = (np.sin(th) / WINDOW_SIZE).astype(np.float32)
-    # complex leaf: [re|im] @ [[C, -S], [S, C]] -> [re|im] of 61 bins
-    Mc = np.block([[C, -S], [S, C]]).astype(np.float32)          # [240, 122]
-    Mr = np.concatenate([C, -S], axis=1).astype(np.float32)      # [120, 122]
-    return win, tws, _bf16_split(Mc), _bf16_split(Mr)
+    mc, mr = _fwd_leaf_matrices(_LEAF, _TGROUP, 1.0 / WINDOW_SIZE)
+    return win, tws, mc, mr
+
+
+def _inv_leaf_matrices(leaf: int, tgroup: int, scale: float):
+    """Static inverse-leaf matrices (conjugate symmetry + leaf IDFT folded)
+    for the 3-level DIF reconstruction, ``scale`` folded in.
+
+    leaf_time_j[m] = sum_{t<leaf} spec_j_full[t] e^{+2pi i mt/leaf} where
+    spec_j_full[t<tgroup] = stored_j[t] and, by global conjugate symmetry of
+    the real signal, spec_j_full[t>=tgroup] = conj(stored_{(8-j)%8}[tau])
+    with tau = leaf-1-t (j>0) / leaf-t (j=0).  Folding both sums into static
+    matrices gives, per leaf pair (j, partner):  time_j = [re_j|im_j] @ A
+    + [re_p|im_p] @ B_j  — no lane reversals anywhere (the reversal lives in
+    the matrix).
+    """
+    m = np.arange(leaf)[None, :]
+    t = np.arange(tgroup)[:, None]
+    thA = 2.0 * np.pi * t * m / leaf
+    Ca, Sa = np.cos(thA), np.sin(thA)
+    # A maps [re|im](2*tgroup) -> [time_re|time_im](2*leaf):
+    #   (re + i im)(cos + i sin) = (re cos - im sin) + i(re sin + im cos)
+    A = np.block([[Ca, Sa], [-Sa, Ca]]).astype(np.float32)
+
+    def conj_part(j):
+        # contribution of conj(stored_partner[tau]) at t = tgroup..leaf-1
+        B = np.zeros((2 * tgroup, 2 * leaf), np.float32)
+        for tt in range(tgroup, leaf):
+            tau = (leaf - tt) if j == 0 else (leaf - 1 - tt)
+            th = 2.0 * np.pi * tt * np.arange(leaf) / leaf
+            c, s = np.cos(th), np.sin(th)
+            # conj(re + i im) * e^{+i th} = (re c + im s) + i(re s - im c)
+            B[tau, :leaf] += c
+            B[tau, leaf:] += s
+            B[tgroup + tau, :leaf] += s
+            B[tgroup + tau, leaf:] += -c
+        return B
+
+    B0 = conj_part(0)       # self-partner leaves (j = 0 and j = 4)
+    Bj = conj_part(1)       # all j > 0 leaves share the tau = leaf-1-t map
+    return (_bf16_split((A * scale).astype(np.float32)),
+            _bf16_split((B0 * scale).astype(np.float32)),
+            _bf16_split((Bj * scale).astype(np.float32)))
 
 
 @functools.lru_cache(maxsize=None)
 def _inv_consts():
-    """Static inverse-leaf matrices (conjugate symmetry + IDFT-120 folded),
-    conjugate butterfly twiddles, and the synthesis window.
-
-    leaf_time_j[m] = sum_{t<120} spec_j_full[t] e^{+2pi i mt/120} where
-    spec_j_full[t<=60] = stored_j[t] and, by global conjugate symmetry of the
-    real signal, spec_j_full[t>60] = conj(stored_{(8-j)%8}[tau]) with
-    tau = 119-t (j>0) / 120-t (j=0).  Folding both sums into static matrices
-    gives, per leaf pair (j, partner):  time_j = [re_j|im_j] @ A
-    + [re_p|im_p] @ B_j  — no lane reversals anywhere (the reversal lives in
-    the matrix).
-    """
-    m = np.arange(_LEAF)[None, :]
-    t = np.arange(_TGROUP)[:, None]
-    thA = 2.0 * np.pi * t * m / _LEAF
-    # direct part: stored_j (t = 0..60), e^{+i thA}
-    Ca, Sa = np.cos(thA), np.sin(thA)
-    # A maps [re|im](122) -> [time_re|time_im](240):
-    #   (re + i im)(cos + i sin) = (re cos - im sin) + i(re sin + im cos)
-    A = np.block([[Ca, Sa], [-Sa, Ca]]).astype(np.float32)       # [122, 240]
-
-    def conj_part(j):
-        # contribution of conj(stored_partner[tau]) at t = 61..119
-        B = np.zeros((2 * _TGROUP, 2 * _LEAF), np.float32)
-        for tt in range(_TGROUP, _LEAF):
-            tau = (_LEAF - tt) if j == 0 else (_LEAF - 1 - tt)
-            th = 2.0 * np.pi * tt * np.arange(_LEAF) / _LEAF
-            c, s = np.cos(th), np.sin(th)
-            # conj(re + i im) * e^{+i th} = (re c + im s) + i(re s - im c)
-            B[tau, :_LEAF] += c
-            B[tau, _LEAF:] += s
-            B[_TGROUP + tau, :_LEAF] += s
-            B[_TGROUP + tau, _LEAF:] += -c
-        return B
-
-    B0 = conj_part(0)       # self-partner leaves (j = 0 and j = 4)
-    Bj = conj_part(1)       # all j > 0 leaves share the tau = 119-t map
+    """Inverse-leaf matrices for the 960-pt case, conjugate butterfly
+    twiddles, and the synthesis window."""
+    A, B0, Bj = _inv_leaf_matrices(_LEAF, _TGROUP, 1.0)
     # Merge twiddles W_L^{-n} = conj(W_L^n).  No 1/2 per level: the leaf
     # matrices compute UNSCALED inverse DFTs (sum over bins), and in that
     # convention  x[n] = ua[n] + W^{-n} ub[n]  exactly (the 1/2 belongs only
@@ -192,9 +230,7 @@ def _inv_consts():
         c, s = _twiddle(L)
         tws.append((c, -s))
     win = tables.full_window().astype(np.float32)[None, :]
-    return (_bf16_split(A.astype(np.float32)),
-            _bf16_split(B0.astype(np.float32)),
-            _bf16_split(Bj.astype(np.float32)), tws, win)
+    return A, B0, Bj, tws, win
 
 
 # ---------------------------------------------------------------------------
@@ -387,6 +423,108 @@ def forward_spectral(mem: jax.Array, x: jax.Array, pitch_buf: jax.Array,
     return Xp[:S], Pp[:S]
 
 
+@functools.lru_cache(maxsize=None)
+def _post_consts():
+    """bf16-split permuted interp matrix [NB, PERM_WIDTH] and band matrix
+    [PERM_WIDTH, NB] for the fused post-filter kernel."""
+    from .transform import _band_matrix_for, _interp_matrix_for
+    interp = np.ascontiguousarray(_interp_matrix_for(PERM_WIDTH).T)
+    band = np.ascontiguousarray(_band_matrix_for(PERM_WIDTH).T)
+    return _bf16_split(interp.astype(np.float32)), \
+        _bf16_split(band.astype(np.float32))
+
+
+def _post_kernel(dX, dP, dEx, dEp, dExp, g_ref, lastg_ref, Ex_ref, sil_ref,
+                 smem_ref,
+                 ih, il, bh, bl, Ah, Al, B0h, B0l, Bjh, Bjl,
+                 tc0, ts0, tc1, ts1, tc2, ts2, win_ref,
+                 out_ref, smem_out, lastg_out):
+    """Fused rnn_pitch_filter + gain smoothing/apply + silence blend +
+    factored inverse DFT + OLA (reference denoise.c:421-455, 477-496) on the
+    permuted-spectrum state.  One VMEM round trip for the whole delayed-frame
+    post-processing tail instead of ~6 HBM-sized fusions."""
+    Xre, Xim = dX[:, :PERM_WIDTH], dX[:, PERM_WIDTH:]
+    Pre, Pim = dP[:, :PERM_WIDTH], dP[:, PERM_WIDTH:]
+    g = g_ref[:]
+    lastg = lastg_ref[:]
+    dEx_ = dEx[:]
+    ih, il, bh, bl = ih[:], il[:], bh[:], bl[:]
+    sq = lambda v: v * v  # noqa: E731
+
+    # per-band comb strength r (denoise.c:429-441)
+    r = jnp.where(dExp[:] > g, 1.0,
+                  sq(dExp[:]) * (1.0 - sq(g))
+                  / (0.001 + sq(g) * (1.0 - sq(dExp[:]))))
+    r = jnp.sqrt(jnp.clip(r, 0.0, 1.0)) * jnp.sqrt(dEx_ / (1e-8 + dEp[:]))
+    rf = _x3_dot(r, ih, il)                                # [B, 488]
+    Yre = Xre + rf * Pre
+    Yim = Xim + rf * Pim
+    newE = _x3_dot(sq(Yre) + sq(Yim), bh, bl)              # [B, 32]
+    norm = jnp.sqrt(dEx_ / (1e-8 + newE))
+    # gain decay cap + energy-compensated lastg (denoise.c:479-489).
+    # normf and gf are separate per-bin interpolations multiplied per bin
+    # (denoise.c:447-453 then 490-494) — interp(norm·gc) would be different
+    # math, so two dots.
+    gc = jnp.maximum(g, 0.6 * lastg)
+    scale = _x3_dot(norm, ih, il) * _x3_dot(gc, ih, il)
+    Yre = Yre * scale
+    Yim = Yim * scale
+    sil = sil_ref[:] > 0.5
+    Yre = jnp.where(sil, Xre, Yre)
+    Yim = jnp.where(sil, Xim, Yim)
+    lastg_new = jnp.minimum(1.0, gc * (dEx_ + 1e-3) / (Ex_ref[:] + 1e-3))
+    lastg_out[:] = jnp.where(sil, lastg, lastg_new)
+
+    tws = [(tc0[:], ts0[:]), (tc1[:], ts1[:]), (tc2[:], ts2[:])]
+    x = _dif_inverse(jnp.concatenate([Yre, Yim], axis=1),
+                     Ah[:], Al[:], B0h[:], B0l[:], Bjh[:], Bjl[:],
+                     tws, win_ref[:])
+    out_ref[:] = x[:, :FRAME_SIZE] + smem_ref[:]
+    smem_out[:] = x[:, FRAME_SIZE:]
+
+
+def postfilter_synthesis(dX, dP, dEx, dEp, dExp, g, lastg, Ex, silence,
+                         synthesis_mem, block: int = 256,
+                         interpret: bool = False):
+    """Fused delayed-frame tail: returns (out_pcm[S,480], new_synthesis_mem
+    [S,480], new_lastg[S,32]).  Permuted-layout equivalent of
+    pitch_filter + gain apply + silence blend + frame_synthesis."""
+    from jax.experimental import pallas as pl
+
+    S = dX.shape[0]
+    arrays = (dX, dP, dEx, dEp, dExp, g, lastg, Ex,
+              silence.astype(jnp.float32)[:, None], synthesis_mem)
+    arrays, S_pad = _pad_streams(arrays, S)
+    block = min(block, S_pad)
+    assert S_pad % block == 0, (S_pad, block)
+    (ih, il), (bh, bl) = _post_consts()
+    (Ah, Al), (B0h, B0l), (Bjh, Bjl), tws, win = _inv_consts()
+    consts = [ih, il, bh, bl, Ah, Al, B0h, B0l, Bjh, Bjl,
+              tws[0][0], tws[0][1], tws[1][0], tws[1][1],
+              tws[2][0], tws[2][1], win]
+
+    def row_spec(w):
+        return pl.BlockSpec((block, w), lambda i: (i, 0))
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0))
+
+    widths = [2 * PERM_WIDTH, 2 * PERM_WIDTH, 32, 32, 32, 32, 32, 32, 1,
+              FRAME_SIZE]
+    out, smem, lastg_new = pl.pallas_call(
+        _post_kernel,
+        grid=(S_pad // block,),
+        in_specs=[row_spec(w) for w in widths] +
+                 [const_spec(a) for a in consts],
+        out_specs=(row_spec(FRAME_SIZE), row_spec(FRAME_SIZE), row_spec(32)),
+        out_shape=(jax.ShapeDtypeStruct((S_pad, FRAME_SIZE), jnp.float32),
+                   jax.ShapeDtypeStruct((S_pad, FRAME_SIZE), jnp.float32),
+                   jax.ShapeDtypeStruct((S_pad, 32), jnp.float32)),
+        interpret=interpret,
+    )(*arrays, *[jnp.asarray(a) for a in consts])
+    return out[:S], smem[:S], lastg_new[:S]
+
+
 def _inv_kernel(Xp_ref, Ah, Al, B0h, B0l, Bjh, Bjl,
                 tc0, ts0, tc1, ts1, tc2, ts2, win_ref, out_ref):
     tws = [(tc0[:], ts0[:]), (tc1[:], ts1[:]), (tc2[:], ts2[:])]
@@ -394,8 +532,11 @@ def _inv_kernel(Xp_ref, Ah, Al, B0h, B0l, Bjh, Bjl,
                               Bjh[:], Bjl[:], tws, win_ref[:])
 
 
-def inverse_spectral(Xp: jax.Array, block: int = 512,
+def inverse_spectral(Xp: jax.Array, block: int = 256,
                      interpret: bool = False) -> jax.Array:
+    # block=256 (not 512): identical throughput at S=4096, but two kernel
+    # instances then fit scoped VMEM together, which the unroll=2 scan in
+    # process_frames needs (512 -> 17.25M > 16M scoped-vmem OOM).
     """Xp: [S, 2*PERM_WIDTH] permuted spectrum -> [S, 960] synthesis-windowed
     time signal (the fused equivalent of windowed_inverse_transform)."""
     from jax.experimental import pallas as pl

@@ -1,0 +1,169 @@
+"""Fused Pallas pitch-correlation kernel: the 385-lag fine correlation table
+via factored DFT-1024 (correlation theorem), entirely VMEM-resident.
+
+Replaces the grouped-conv formulation of ``pitch.lag_corr_table`` on TPU
+(reference loops: rnn_pitch_xcorr / celt_inner_prod, src/pitch.c:216-279 and
+pitch.h:51-142).  Per stream:
+
+    bx[i] = sum_{j<480} ds[384+j] * ds[i+j],   i = 0..384
+
+is a linear correlation of x = ds[384:864] (zero-padded) with y = ds[0:864]
+(zero-padded) — length 1024 covers the maximum index 863, so the circular
+form is exact:
+
+    bx = IDFT_1024( conj(DFT x) * DFT y )[0:385]
+
+Both DFTs and the inverse use the same 3-level DIF radix-2 machinery as
+pallas_spectral (1024 = 8 x 128, leaf DFT-128 matmuls on the MXU, butterfly
+twiddles on the VPU, X3 bf16 splits).  The spectra never leave VMEM and no
+lane reversal exists anywhere: conjugate symmetry is folded into the static
+inverse-leaf matrices (pallas_spectral._inv_leaf_matrices).
+
+Grouped-conv xcorr runs at ~5 TF/s on v5e (pathological [1, S, lags]
+layouts); this runs the same math as ~6 Mflop/stream of dense bf16 matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_spectral import (_bf16_split, _dif_split, _fwd_leaf_matrices,
+                              _inv_leaf_matrices, _pad_streams, _twiddle,
+                              _x3_dot, _bitrev3)
+
+_N = 1024
+_NLEAF = 8
+_LEAF = _N // _NLEAF                 # 128
+_TGROUP = _LEAF // 2 + 1             # 65
+_DS_LEN = 864
+_X_OFF = 384
+_NLAGS = 385
+
+
+@functools.lru_cache(maxsize=None)
+def _xcorr_consts():
+    fwd_tws = [_twiddle(L) for L in (1024, 512, 256)]
+    inv_tws = [(c, -s) for (c, s) in (_twiddle(L) for L in (256, 512, 1024))]
+    (mch, mcl), (mrh, mrl) = _fwd_leaf_matrices(_LEAF, _TGROUP, 1.0)
+    (Ah, Al), (B0h, B0l), (Bjh, Bjl) = _inv_leaf_matrices(
+        _LEAF, _TGROUP, 1.0 / _N)
+    flat = []
+    for c, s in fwd_tws + inv_tws:
+        flat += [c, s]
+    flat += [mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl]
+    return flat
+
+
+def _dif_forward_1024(v, tws, mch, mcl, mrh, mrl):
+    """v: [B, 1024] real -> permuted spectrum ([B, 520], [B, 520]) re, im.
+    Leaf at position p holds natural bins k = 8t + bitrev3(p)."""
+    seqs = [(v, None)]
+    for (twc, tws_) in tws:
+        seqs = [out for s in seqs for out in _dif_split(s, twc, tws_)]
+    B = v.shape[0]
+    cplx = jnp.concatenate(
+        [jnp.concatenate([re, im], axis=1) for re, im in seqs[1:]], axis=0)
+    spec_c = _x3_dot(cplx, mch, mcl)                     # [7B, 130]
+    groups = [None] * _NLEAF
+    groups[_bitrev3(0)] = _x3_dot(seqs[0][0], mrh, mrl)
+    for p in range(1, _NLEAF):
+        groups[_bitrev3(p)] = spec_c[(p - 1) * B:p * B]
+    re = jnp.concatenate([g[:, :_TGROUP] for g in groups], axis=1)
+    im = jnp.concatenate([g[:, _TGROUP:] for g in groups], axis=1)
+    return re, im
+
+
+def _dif_inverse_1024(re, im, Ah, Al, B0h, B0l, Bjh, Bjl, tws):
+    """Permuted spectrum [B, 520] re/im (conjugate-symmetric) -> [B, 1024]
+    real time signal (scaled 1/N via the leaf matrices)."""
+    B = re.shape[0]
+
+    def stored(j):
+        return jnp.concatenate(
+            [re[:, j * _TGROUP:(j + 1) * _TGROUP],
+             im[:, j * _TGROUP:(j + 1) * _TGROUP]], axis=1)
+
+    direct_in = jnp.concatenate([stored(j) for j in range(_NLEAF)], axis=0)
+    direct = _x3_dot(direct_in, Ah, Al)                  # [8B, 256]
+    conj_in = jnp.concatenate(
+        [stored((_NLEAF - j) % _NLEAF) for j in range(1, _NLEAF)], axis=0)
+    conj_c = _x3_dot(conj_in, Bjh, Bjl)                  # [7B, 256]
+    leaves = [None] * _NLEAF
+    for j in range(_NLEAF):
+        tm = direct[j * B:(j + 1) * B]
+        if j == 0:
+            tm = tm + _x3_dot(stored(0), B0h, B0l)
+        else:
+            tm = tm + conj_c[(j - 1) * B:j * B]
+        leaves[_bitrev3(j)] = (tm[:, :_LEAF], tm[:, _LEAF:])
+
+    for lvl, (twc, tws_) in enumerate(tws):
+        last = lvl == len(tws) - 1
+        nxt = []
+        for i in range(0, len(leaves), 2):
+            (a_re, a_im), (b_re, b_im) = leaves[i], leaves[i + 1]
+            bw_re = b_re * twc - b_im * tws_
+            v_re = jnp.concatenate([a_re + bw_re, a_re - bw_re], axis=1)
+            if last:
+                nxt.append((v_re, None))
+            else:
+                bw_im = b_re * tws_ + b_im * twc
+                v_im = jnp.concatenate([a_im + bw_im, a_im - bw_im], axis=1)
+                nxt.append((v_re, v_im))
+        leaves = nxt
+    return leaves[0][0]
+
+
+def _xcorr_kernel(ds_ref,
+                  ftc0, fts0, ftc1, fts1, ftc2, fts2,
+                  itc0, its0, itc1, its1, itc2, its2,
+                  mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl,
+                  bx_ref, *, block):
+    ds = ds_ref[:]
+    z_x = jnp.zeros((block, _N - (_DS_LEN - _X_OFF)), jnp.float32)
+    z_y = jnp.zeros((block, _N - _DS_LEN), jnp.float32)
+    x = jnp.concatenate([ds[:, _X_OFF:], z_x], axis=1)
+    y = jnp.concatenate([ds, z_y], axis=1)
+    ftws = [(ftc0[:], fts0[:]), (ftc1[:], fts1[:]), (ftc2[:], fts2[:])]
+    itws = [(itc0[:], its0[:]), (itc1[:], its1[:]), (itc2[:], its2[:])]
+    xr, xi = _dif_forward_1024(x, ftws, mch[:], mcl[:], mrh[:], mrl[:])
+    yr, yi = _dif_forward_1024(y, ftws, mch[:], mcl[:], mrh[:], mrl[:])
+    # C = conj(X) * Y, valid on every stored slot incl. the extension bins
+    cr = xr * yr + xi * yi
+    ci = xr * yi - xi * yr
+    corr = _dif_inverse_1024(cr, ci, Ah[:], Al[:], B0h[:], B0l[:],
+                             Bjh[:], Bjl[:], itws)
+    bx_ref[:] = corr[:, :_NLAGS]
+
+
+def lag_corr_table_pallas(ds: jax.Array, block: int = 256,
+                          interpret: bool = False) -> jax.Array:
+    """ds: [S, 864] downsampled whitened pitch buffer -> bx [S, 385],
+    bx[s, i] = sum_{j<480} ds[s, 384+j] * ds[s, i+j]."""
+    from jax.experimental import pallas as pl
+
+    S = ds.shape[0]
+    (ds,), S_pad = _pad_streams((ds,), S)
+    block = min(block, S_pad)
+    assert S_pad % block == 0, (S_pad, block)
+    consts = _xcorr_consts()
+
+    def row_spec(w):
+        return pl.BlockSpec((block, w), lambda i: (i, 0))
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0))
+
+    bx = pl.pallas_call(
+        functools.partial(_xcorr_kernel, block=block),
+        grid=(S_pad // block,),
+        in_specs=[row_spec(_DS_LEN)] + [const_spec(a) for a in consts],
+        out_specs=row_spec(_NLAGS),
+        out_shape=jax.ShapeDtypeStruct((S_pad, _NLAGS), jnp.float32),
+        interpret=interpret,
+    )(ds, *[jnp.asarray(a) for a in consts])
+    return bx[:S]

@@ -224,10 +224,25 @@ def _levinson4(ac):
 def lag_corr_table(x_lp: jax.Array) -> jax.Array:
     """bx[s, i] = sum_{j<480} x_lp[s, 384+j] * x_lp[s, i+j] for i = 0..384.
 
-    One grouped-conv correlation shared by the fine pitch search (lags 0..293
-    are exactly its cross-correlations) and remove_doubling (lag t reads
-    bx[384 - t])."""
+    One correlation table shared by the fine pitch search (lags 0..293 are
+    exactly its cross-correlations) and remove_doubling (lag t reads
+    bx[384 - t]).
+
+    A fused factored-DFT correlation kernel exists
+    (pallas_xcorr.lag_corr_table_pallas, exact to ~1e-6 rel) but measured
+    ~8% SLOWER in-pipeline on v5e at S=4096 (r2): standalone it edges out
+    the conv, but in the full frame XLA overlaps the grouped conv with
+    neighbouring fusions while the monolithic kernel serialises.  Toggle
+    _XCORR_PALLAS to re-measure on newer toolchains."""
+    if _XCORR_PALLAS:
+        from .pallas_spectral import fused_enabled
+        if fused_enabled():
+            from .pallas_xcorr import lag_corr_table_pallas
+            return lag_corr_table_pallas(x_lp)
     return batched_xcorr(x_lp[:, _X_OFF:_X_OFF + _N2], x_lp, _MAXP2 + 1)
+
+
+_XCORR_PALLAS = False
 
 
 def pitch_search(x_lp: jax.Array, bx: Optional[jax.Array] = None,

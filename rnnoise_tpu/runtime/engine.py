@@ -30,10 +30,18 @@ class StreamingEngine:
     def __init__(self, n_slots: int, model: Optional[RNNoise] = None,
                  chunk_frames: int = 8,
                  runtime: RuntimeConfig = DEFAULT_RUNTIME,
-                 ring_frames: int = 256):
+                 ring_frames: int = 256,
+                 pipelined: bool = False):
+        """``pipelined=True`` double-buffers the host path: tick() commits
+        the PREVIOUS tick's output while the device computes the current one
+        (jax dispatch is async), hiding the ~90 MB/tick of host conversion
+        behind device time at the cost of one chunk of extra output latency.
+        Call flush() to drain the last pending chunk."""
         self.pool = StreamPool(n_slots, ring_frames)
         self.n_slots = n_slots
         self.chunk_frames = chunk_frames
+        self.pipelined = pipelined
+        self._pending = None        # (device out, counts) awaiting commit
         config = model.config if model is not None else DEFAULT_MODEL
         self.state = init_state(n_slots, config)
         params = model.params if model is not None else None
@@ -84,5 +92,24 @@ class StreamingEngine:
         self.state, out, _vad = self._tick(
             self.state, jnp.asarray(batch),
             jnp.asarray(counts), jnp.asarray(reset.astype(bool)))
+        if self.pipelined:
+            # out is an async device value; commit LAST tick's output while
+            # the device crunches this one.
+            advanced = 0
+            if self._pending is not None:
+                p_out, p_counts = self._pending
+                self.pool.commit(T, np.asarray(p_out), p_counts)
+                advanced = int((p_counts >= T).sum())
+            self._pending = (out, counts)
+            return advanced
         self.pool.commit(T, np.asarray(out), counts)
         return int((counts >= T).sum())
+
+    def flush(self) -> int:
+        """Commit the pending pipelined chunk (no-op when not pipelined)."""
+        if self._pending is None:
+            return 0
+        p_out, p_counts = self._pending
+        self._pending = None
+        self.pool.commit(self.chunk_frames, np.asarray(p_out), p_counts)
+        return int((p_counts >= self.chunk_frames).sum())

@@ -29,8 +29,8 @@ def _build() -> str:
     if (not os.path.exists(_SO_PATH)
             or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)):
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO_PATH, _SRC],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", "-pthread", "-o", _SO_PATH, _SRC],
             check=True)
     return _SO_PATH
 
@@ -49,6 +49,10 @@ def get_lib() -> ct.CDLL:
         lib.rnnt_pool_detach.argtypes = [ct.c_void_p, ct.c_int]
         lib.rnnt_pool_push.restype = ct.c_int64
         lib.rnnt_pool_push.argtypes = [ct.c_void_p, ct.c_int, _i16p, ct.c_int64]
+        lib.rnnt_pool_push_all.restype = ct.c_int
+        lib.rnnt_pool_push_all.argtypes = [ct.c_void_p, _i16p, ct.c_int64]
+        lib.rnnt_pool_pull_all.restype = ct.c_int
+        lib.rnnt_pool_pull_all.argtypes = [ct.c_void_p, _i16p, ct.c_int64]
         lib.rnnt_pool_pull.restype = ct.c_int64
         lib.rnnt_pool_pull.argtypes = [ct.c_void_p, ct.c_int, _i16p, ct.c_int64]
         lib.rnnt_pool_available.restype = ct.c_int64
@@ -94,6 +98,20 @@ class StreamPool:
 
     def available(self, slot: int) -> int:
         return self._lib.rnnt_pool_available(self._p, slot)
+
+    def push_all(self, pcm: np.ndarray) -> int:
+        """Bulk ingest [S, n] int16 into every active slot (one native call,
+        thread-pooled)."""
+        pcm = np.ascontiguousarray(pcm, np.int16)
+        assert pcm.shape[0] == self.n_slots
+        return self._lib.rnnt_pool_push_all(self._p, pcm, pcm.shape[1])
+
+    def pull_all(self, n: int) -> tuple[np.ndarray, int]:
+        """Bulk drain up to n samples per slot -> ([S, n] int16 zero-filled,
+        slots that produced a full n)."""
+        out = np.empty((self.n_slots, n), np.int16)
+        full = self._lib.rnnt_pool_pull_all(self._p, out, n)
+        return out, full
 
     def assemble(self, t_frames: int):
         S = self.n_slots

@@ -124,3 +124,25 @@ def test_dft_matmul_mode_matches_fft(oracle_int8, rng):
         np.testing.assert_allclose(ym, yf, atol=3e-6 * np.abs(yf).max())
     finally:
         tr2.set_dft_mode("auto")
+
+
+def test_biquad_chunk_bitexact_vs_per_frame(rng):
+    """biquad_chunk (the hoisted whole-chunk form used by process_frames)
+    must match scanning biquad() per frame to within f32 matmul-tiling
+    reassociation (~1 ulp; the state chain itself is bit-identical)."""
+    import jax.numpy as jnp
+    from rnnoise_tpu.dsp import biquad as bq
+    from rnnoise_tpu import tables
+
+    S, T = 4, 7
+    x = jnp.asarray(3000 * rng.standard_normal((S, T, 480)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((S, 2)), jnp.float32)
+    B, A = tables.BIQUAD_HP_B, tables.BIQUAD_HP_A
+    m = mem
+    ys = []
+    for t in range(T):
+        y, m = bq.biquad(x[:, t], m, B, A)
+        ys.append(y)
+    y_got, m_got = bq.biquad_chunk(x, mem, B, A)
+    assert float(jnp.abs(y_got - jnp.stack(ys, 1)).max()) < 0.01   # ~1 ulp
+    assert float(jnp.abs(m_got - m).max()) == 0.0

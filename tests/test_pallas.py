@@ -107,3 +107,80 @@ def test_fused_inverse_spectral_matches_xla(rng):
     x_got = ps.inverse_spectral(ps.permute_spectrum(X), interpret=True)
     np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref),
                                atol=5e-5 * float(jnp.max(jnp.abs(x_ref))))
+
+
+def test_postfilter_synthesis_matches_xla(rng):
+    """The fused post-filter + synthesis kernel (interpret mode) vs the XLA
+    path (pitch_filter + gain cap/apply + silence blend + frame_synthesis)
+    on the same permuted spectra, including one silent stream."""
+    import jax.numpy as jnp
+    from rnnoise_tpu.config import FRAME_SIZE, FREQ_SIZE, NB_BANDS
+    from rnnoise_tpu.dsp import pallas_spectral as ps
+    from rnnoise_tpu.dsp import transform as tr
+    from rnnoise_tpu import denoise as dn
+
+    S = 8
+    # realistic spectra: transforms of random time signals (keeps band
+    # energies in a sane range for the comb-filter rationals)
+    x_t = rng.standard_normal((S, 960)).astype(np.float32) * 3000
+    p_t = 0.7 * x_t + 500 * rng.standard_normal((S, 960)).astype(np.float32)
+    try:
+        tr.set_dft_mode("matmul")
+        tr.set_dft_precision("f32")
+        X = tr.windowed_forward_transform(jnp.asarray(x_t))
+        P = tr.windowed_forward_transform(jnp.asarray(p_t))
+        Ex = tr.compute_band_energy(X)
+        Ep = tr.compute_band_energy(P)
+        Exp = tr.compute_band_corr(X, P) / jnp.sqrt(0.001 + Ex * Ep)
+        g = jnp.asarray(rng.uniform(0.05, 1.0, (S, NB_BANDS)), jnp.float32)
+        lastg = jnp.asarray(rng.uniform(0, 1, (S, NB_BANDS)), jnp.float32)
+        Ex_cur = Ex * jnp.asarray(
+            rng.uniform(0.5, 2.0, (S, 1)), jnp.float32)
+        silence = jnp.asarray([False] * (S - 1) + [True])
+        smem = jnp.asarray(rng.standard_normal((S, FRAME_SIZE)), jnp.float32)
+
+        # XLA reference path (natural order)
+        Xd = dn.pitch_filter(X, P, Ex, Ep, Exp, g)
+        gc = jnp.maximum(g, 0.6 * lastg)
+        lastg_ref = jnp.minimum(1.0, gc * (Ex + 1e-3) / (Ex_cur + 1e-3))
+        gf = tr.interp_band_gain(gc, width=FREQ_SIZE)
+        Xd = Xd * gf
+        sil = silence[:, None]
+        X_synth = jnp.where(sil, X, Xd)
+        lastg_ref = jnp.where(sil, lastg, lastg_ref)
+        smem_ref, out_ref = tr.frame_synthesis(smem, X_synth)
+    finally:
+        tr.set_dft_mode("auto")
+        tr.set_dft_precision("auto")
+
+    out, smem_new, lastg_new = ps.postfilter_synthesis(
+        ps.permute_spectrum(X), ps.permute_spectrum(P),
+        Ex, Ep, Exp, g, lastg, Ex_cur, silence, smem, interpret=True)
+    scale = float(jnp.max(jnp.abs(out_ref)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(smem_new), np.asarray(smem_ref),
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(lastg_new), np.asarray(lastg_ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_xcorr_kernel_matches_conv(rng):
+    """The factored-DFT correlation kernel (interpret mode) vs the grouped
+    conv lag table, on speech-like and noise buffers."""
+    import jax.numpy as jnp
+    from rnnoise_tpu.dsp import pitch as pm
+    from rnnoise_tpu.dsp.pallas_xcorr import lag_corr_table_pallas
+    from tests.conftest import speechlike
+
+    bufs = np.stack([
+        speechlike(rng, 1728, f0=130.0, noise=0.1)[::2],
+        speechlike(rng, 1728, f0=70.0, noise=0.3)[::2],
+        (300 * rng.standard_normal(864)).astype(np.float32),
+        np.zeros(864, np.float32),
+    ])
+    ds = jnp.asarray(bufs, jnp.float32)
+    ref = np.asarray(pm.batched_xcorr(ds[:, 384:864], ds, 385))
+    got = np.asarray(lag_corr_table_pallas(ds, interpret=True))
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(got, ref, atol=3e-6 * scale)
