@@ -28,7 +28,7 @@ def main():
     import jax.numpy as jnp
 
     from rnnoise_tpu.config import FRAME_SIZE, RuntimeConfig
-    from rnnoise_tpu.denoise import init_state, process_frames
+    from rnnoise_tpu.denoise import init_state, process_frames_tm
     from __graft_entry__ import _demo_params
 
     dev = jax.devices()[0]
@@ -38,19 +38,21 @@ def main():
     rt = RuntimeConfig(quantized=True)
     rng = np.random.default_rng(0)
 
-    T = 100                       # 1 s of audio per dispatch
+    T = 400                       # 4 s of audio per dispatch (amortises the
+    #                               dev-relay's ~30 ms dispatch overhead; on
+    #                               a direct-attached chip T=100 is within 2%)
     best = 0.0
     best_cfg = None
-    # Sweep measured r2: 8192 is ~15% WORSE per stream than 4096 (HBM-side
-    # working-set effects), 16384 worse still — 4096 is the knee.  Keep 8192
-    # in the sweep so regressions in large-S scaling stay visible.
-    for S in (2048, 4096, 8192):
+    # S sweep measured r2: throughput peaks at S=3072 — the scoped-VMEM
+    # residency knee (S(1) buffers; see CLAUDE.md).  4096 is ~6% worse,
+    # 8192 ~15%/stream worse; keep 4096 so large-S regressions stay visible.
+    for S in (2048, 3072, 4096):
         try:
             state = init_state(S)
             pcm = jnp.asarray(
-                3000 * rng.standard_normal((S, T, FRAME_SIZE)), jnp.float32)
+                3000 * rng.standard_normal((T, S, FRAME_SIZE)), jnp.float32)
 
-            fn = jax.jit(lambda st, x: process_frames(params, st, x, rt))
+            fn = jax.jit(lambda st, x: process_frames_tm(params, st, x, rt))
             t0 = time.perf_counter()
             state2, out, vad = fn(state, pcm)
             jax.block_until_ready(out)

@@ -324,18 +324,25 @@ def _process_frame_hp(params: Optional[ModelParams], state: DenoiseState,
     return new_state, out, vad
 
 
-def process_frames(params: Optional[ModelParams], state: DenoiseState,
-                   pcm: jax.Array, rt: RuntimeConfig = DEFAULT_RUNTIME):
-    """Scan process_frame over time.  pcm: [S, T, FRAME_SIZE].
+def process_frames_tm(params: Optional[ModelParams], state: DenoiseState,
+                      pcm: jax.Array, rt: RuntimeConfig = DEFAULT_RUNTIME):
+    """Time-major chunk processing: pcm [T, S, FRAME_SIZE] -> (new_state,
+    out[T, S, FRAME_SIZE], vad[T, S]).
 
-    Returns (new_state, out[S, T, FRAME_SIZE], vad[S, T]).
+    The scan iterates over the leading axis, so time-major I/O avoids the
+    [S, T] <-> [T, S] transposes of :func:`process_frames` entirely (~2.5%
+    of the frame budget at S=4096 on v5e).  Producers that can emit
+    time-major batches directly (bench, the native stream pool) should use
+    this entry point.
     """
     # NOTE an alternative that hoists the biquad out of the loop
     # (biquad_chunk: one [S*T, 480] kernel matmul + tiny state scan) measured
     # a consistent ~4% SLOWER at S=4096/T=100 on v5e: the extra HBM round
     # trip of the materialised filtered chunk outweighs the batched-matmul
     # win.  Kept in dsp/biquad.py (bit-matching test) for shorter-T serving
-    # shapes where the trade flips.
+    # shapes where the trade flips.  A full block-batched restructure
+    # (denoise_blocked) measured 35-45% slower — scoped-VMEM residency, see
+    # its docstring.
     def step(st, frame):
         st, out, vad = process_frame(params, st, frame, rt)
         return st, (out, vad)
@@ -345,9 +352,18 @@ def process_frames(params: Optional[ModelParams], state: DenoiseState,
     # regresses — scheduling/VMEM pressure).  TPU-only: on CPU the doubled
     # scan body buys nothing and doubles compile time for every test (the
     # checkify-wrapped pipeline went from ~3 to ~15 min).
-    T = pcm.shape[1]
+    T = pcm.shape[0]
     unroll = 2 if (T % 2 == 0 and jax.default_backend() == "tpu") else 1
-    state, (out, vad) = jax.lax.scan(step, state,
-                                     jnp.moveaxis(pcm, 1, 0),
-                                     unroll=unroll)
+    state, (out, vad) = jax.lax.scan(step, state, pcm, unroll=unroll)
+    return state, out, vad
+
+
+def process_frames(params: Optional[ModelParams], state: DenoiseState,
+                   pcm: jax.Array, rt: RuntimeConfig = DEFAULT_RUNTIME):
+    """Scan process_frame over time.  pcm: [S, T, FRAME_SIZE].
+
+    Returns (new_state, out[S, T, FRAME_SIZE], vad[S, T]).
+    """
+    state, out, vad = process_frames_tm(params, state,
+                                        jnp.moveaxis(pcm, 1, 0), rt)
     return state, jnp.moveaxis(out, 0, 1), jnp.moveaxis(vad, 0, 1)

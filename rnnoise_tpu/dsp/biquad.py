@@ -54,6 +54,29 @@ def _biquad_kernels(b: tuple, a: tuple, N: int):
             SA.astype(np.float32), SB.astype(np.float32))
 
 
+# Dot algorithm for the [S, 480] x [480, 480] kernel matmul.  "x3" uses the
+# three-pass bf16 form; "f32" the exact six-pass form.  Measured on-chip
+# (150 stateful frames, production X3-DFT pipeline): X3 here moves PCM by
+# 6.5 LSB — OVER the 4 LSB oracle budget (the near-unstable DC blocker
+# amplifies the ~1e-5 kernel error through the silence/pitch decisions) —
+# for only ~1% throughput.  Stays exact; knob kept for re-measurement.
+_PRECISION = "f32"           # "x3" | "f32"
+
+
+def set_precision(mode: str) -> None:
+    global _PRECISION
+    assert mode in ("x3", "f32")
+    _PRECISION = mode
+
+
+def _kernel_dot(x: jax.Array, m: jax.Array) -> jax.Array:
+    if _PRECISION == "x3":
+        from .transform import _dft_dot
+        return _dft_dot(x, m)
+    return jnp.dot(x, m, precision="float32",
+                   preferred_element_type=jnp.float32)
+
+
 def biquad(x: jax.Array, mem: jax.Array, b, a):
     """x: [S, N], mem: [S, 2]  ->  (y[S, N], new_mem[S, 2])."""
     b = tuple(np.asarray(b, dtype=np.float64))
@@ -61,8 +84,7 @@ def biquad(x: jax.Array, mem: jax.Array, b, a):
     S, N = x.shape
     K, rowA, SA, SB = map(jnp.asarray, _biquad_kernels(b, a, N))
     x = x.astype(jnp.float32)
-    y = x + jnp.dot(x, K.T, precision="float32",
-                    preferred_element_type=jnp.float32) \
+    y = x + _kernel_dot(x, K.T) \
           + jnp.dot(mem, rowA.T, precision="float32",
                     preferred_element_type=jnp.float32)
     new_mem = jnp.dot(mem, SA.T, precision="float32",
