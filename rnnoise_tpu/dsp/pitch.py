@@ -154,10 +154,14 @@ def pitch_downsample(pitch_buf: jax.Array) -> jax.Array:
     x = pitch_buf.astype(jnp.float32)
     S = x.shape[0]
     # 2x decimation: x_lp[i] = .25*(x[2i-1] + x[2i+1]) + .5*x[2i]; i=0 special.
-    even = x[:, 0::2]                                # [S, 864]
-    left = jnp.concatenate([jnp.zeros((S, 1), x.dtype), x[:, 1:-1:2]], axis=-1)
-    right = x[:, 1::2]
-    x_lp = 0.25 * (left + right) + 0.5 * even
+    # Smooth at full rate first (lane shifts fuse into one elementwise pass),
+    # then extract even samples ONCE: stride-2 lane extraction forces a
+    # column-major relayout of the buffer on TPU, and the naive three-slice
+    # form (even/left/right) paid for it three times per frame.
+    xl = jnp.concatenate([jnp.zeros((S, 1), x.dtype), x[:, :-1]], axis=-1)
+    xr = jnp.concatenate([x[:, 1:], jnp.zeros((S, 1), x.dtype)], axis=-1)
+    sm = 0.25 * (xl + xr) + 0.5 * x                  # same f32 op order
+    x_lp = sm[:, 0::2]                               # [S, 864]
     x_lp = x_lp.at[:, 0].set(0.25 * x[:, 1] + 0.5 * x[:, 0])
 
     # Order-4 autocorrelation (rnn_autocorr fast path + tail == plain autocorr).

@@ -53,9 +53,30 @@ def init_rnn_state(n_streams: int,
     )
 
 
+def _pallas_rnn_viable(params: ModelParams, S: int,
+                       rt: RuntimeConfig) -> bool:
+    """Use the fused VMEM-resident kernel (nn.pallas_rnn) when it applies:
+    TPU, quantized + approx path (the kernel's numerics), and a stream count
+    that tiles into its 256-stream blocks.  Measured on v5e at S=3072 the
+    kernel is ~8% of whole-pipeline throughput over the XLA op-by-op form
+    (at S=4096 it was neutral — scoped-VMEM pressure, see CLAUDE.md)."""
+    return (rt.quantized and rt.approx_act
+            and params.conv2.weights_q is not None
+            and S >= 256 and S % 256 == 0
+            and jax.default_backend() == "tpu")
+
+
 def compute_rnn(params: ModelParams, state: RNNState, features: jax.Array,
                 rt: RuntimeConfig = DEFAULT_RUNTIME):
     """features: [S, NB_FEATURES] -> (new_state, gains[S, 32], vad[S])."""
+    if _pallas_rnn_viable(params, features.shape[0], rt):
+        from ..nn.pallas_rnn import compute_rnn_pallas, pack_params
+        config = ModelConfig(input_dim=features.shape[-1],
+                             cond_size=params.conv1.bias.shape[0],
+                             gru_size=state.gru1.shape[-1])
+        # pack_params on closure-constant weights folds at compile time.
+        return compute_rnn_pallas(pack_params(params), state, features,
+                                  config)
     q, ap = rt.quantized, rt.approx_act
     conv1_mem, c1 = conv1d_step(params.conv1, state.conv1_mem, features,
                                 "tanh", False, ap)      # conv1 is never int8

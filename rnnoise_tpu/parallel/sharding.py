@@ -64,12 +64,21 @@ def shard_params(params: ModelParams, mesh: Mesh) -> ModelParams:
 def make_sharded_processor(params: ModelParams, mesh: Mesh,
                            rt: RuntimeConfig = DEFAULT_RUNTIME):
     """jitted (state, pcm[S, T, 480]) -> (state, out, vad) with S sharded over
-    the mesh.  S must be divisible by the mesh size."""
-    s_shard = stream_sharding(mesh)
+    the mesh.  S must be divisible by the mesh size.
 
-    @functools.partial(jax.jit,
-                       in_shardings=(s_shard, s_shard),
-                       out_shardings=(s_shard, s_shard, s_shard))
+    Built on shard_map rather than global-view pjit: streams are independent
+    (zero steady-state collectives), and shard_map gives every device the
+    *local* [S/n, ...] view — which is required for the Pallas kernels in
+    the pipeline (custom calls have no automatic SPMD partitioning rule) and
+    costs nothing for the rest."""
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(STREAM_AXIS)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec),
+                       out_specs=(spec, spec, spec))
     def run(state, pcm):
         return process_frames(params, state, pcm, rt)
 
