@@ -276,12 +276,10 @@ def _process_frame_hp(params: Optional[ModelParams], state: DenoiseState,
     silence = ff.silence
 
     if params is not None:
-        rnn_new, g, vad = compute_rnn(params, state.rnn, ff.features, rt)
-        # Silent frames freeze the RNN state (compute_rnn skipped in C).
-        rnn_state = jax.tree.map(
-            lambda new, old: jnp.where(silence[:, None], old, new),
-            rnn_new, state.rnn)
-        vad = jnp.where(silence, 0.0, vad)
+        # Silent frames freeze the RNN state and zero the VAD (compute_rnn
+        # skipped in C) — applied inside compute_rnn (in-kernel on TPU).
+        rnn_state, g, vad = compute_rnn(params, state.rnn, ff.features, rt,
+                                        silence=silence)
     else:
         rnn_state = state.rnn
         g = jnp.ones((x.shape[0], NB_BANDS), jnp.float32)

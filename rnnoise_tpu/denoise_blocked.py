@@ -265,11 +265,7 @@ def _process_block(params: Optional[ModelParams], state: DenoiseState,
         rnn, lastg = carry
         f, sil, exp_, exc = xs_t
         if params is not None:
-            rnn_new, g, vad = compute_rnn(params, rnn, f, rt)
-            rnn = jax.tree.map(
-                lambda new, old: jnp.where(sil[:, None], old, new),
-                rnn_new, rnn)
-            vad = jnp.where(sil, 0.0, vad)
+            rnn, g, vad = compute_rnn(params, rnn, f, rt, silence=sil)
         else:
             g = jnp.ones((S, NB_BANDS), jnp.float32)
             vad = jnp.zeros((S,), jnp.float32)

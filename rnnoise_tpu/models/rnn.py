@@ -67,8 +67,13 @@ def _pallas_rnn_viable(params: ModelParams, S: int,
 
 
 def compute_rnn(params: ModelParams, state: RNNState, features: jax.Array,
-                rt: RuntimeConfig = DEFAULT_RUNTIME):
-    """features: [S, NB_FEATURES] -> (new_state, gains[S, 32], vad[S])."""
+                rt: RuntimeConfig = DEFAULT_RUNTIME,
+                silence: jax.Array = None):
+    """features: [S, NB_FEATURES] -> (new_state, gains[S, 32], vad[S]).
+
+    ``silence`` [S] bool applies the reference's silent-frame semantics
+    (denoise.c:474-480: compute_rnn skipped — state frozen, vad 0) for those
+    rows; gains are still returned computed (the caller blends them away)."""
     if _pallas_rnn_viable(params, features.shape[0], rt):
         from ..nn.pallas_rnn import compute_rnn_pallas, pack_params
         config = ModelConfig(input_dim=features.shape[-1],
@@ -76,7 +81,7 @@ def compute_rnn(params: ModelParams, state: RNNState, features: jax.Array,
                              gru_size=state.gru1.shape[-1])
         # pack_params on closure-constant weights folds at compile time.
         return compute_rnn_pallas(pack_params(params), state, features,
-                                  config)
+                                  config, silence=silence)
     q, ap = rt.quantized, rt.approx_act
     conv1_mem, c1 = conv1d_step(params.conv1, state.conv1_mem, features,
                                 "tanh", False, ap)      # conv1 is never int8
@@ -89,4 +94,9 @@ def compute_rnn(params: ModelParams, state: RNNState, features: jax.Array,
     gains = dense(params.dense_out, cat, "sigmoid", False, ap)
     vad = dense(params.vad_dense, cat, "sigmoid", False, ap)[:, 0]
     new_state = RNNState(conv1_mem, conv2_mem, g1, g2, g3)
+    if silence is not None:
+        new_state = jax.tree.map(
+            lambda new, old: jnp.where(silence[:, None], old, new),
+            new_state, state)
+        vad = jnp.where(silence, 0.0, vad)
     return new_state, gains, vad

@@ -94,7 +94,7 @@ def _qmat(xq, wq, scale):
     return acc.astype(jnp.float32) * scale
 
 
-def _kernel(feats, c1m, c2m, h1, h2, h3,
+def _kernel(feats, sil, c1m, c2m, h1, h2, h3,
             conv1_w, conv1_b, conv2_wq, conv2_scale, conv2_b,
             gru_in_wq, gru_in_scale, gru_in_b,
             gru_rec_wq, gru_rec_scale, gru_rec_b, gru_diag,
@@ -102,17 +102,21 @@ def _kernel(feats, c1m, c2m, h1, h2, h3,
             c1m_out, c2m_out, h1_out, h2_out, h3_out, gains_out, vad_out,
             *, gru_size):
     N = gru_size
+    # silence freeze IN-kernel (denoise.c skips compute_rnn for silent
+    # frames): keep==1 rows write back their old state and vad 0 — saves the
+    # caller's five where-passes over the state tensors in HBM.
+    keep = sil[:] > 0.0                                 # [block, 1] bool
     f = feats[:]
     tmp1 = jnp.concatenate([c1m[:], f], axis=-1)
     c1 = tanh_approx(jnp.dot(tmp1, conv1_w[:], precision="float32",
                              preferred_element_type=jnp.float32)
                      + conv1_b[:])
-    c1m_out[:] = tmp1[:, f.shape[-1]:]
+    c1m_out[:] = jnp.where(keep, c1m[:], tmp1[:, f.shape[-1]:])
 
     tmp2 = jnp.concatenate([c2m[:], c1], axis=-1)
     c2 = tanh_approx(_qmat(_quant(tmp2), conv2_wq[:], conv2_scale[:])
                      + conv2_b[:])
-    c2m_out[:] = tmp2[:, c1.shape[-1]:]
+    c2m_out[:] = jnp.where(keep, c2m[:], tmp2[:, c1.shape[-1]:])
 
     def gru(i, h, x):
         zrh = _qmat(_quant(x), gru_in_wq[i], gru_in_scale[i]) + gru_in_b[i]
@@ -128,26 +132,35 @@ def _kernel(feats, c1m, c2m, h1, h2, h3,
     g1 = gru(0, h1[:], c2)
     g2 = gru(1, h2[:], g1)
     g3 = gru(2, h3[:], g2)
-    h1_out[:] = g1
-    h2_out[:] = g2
-    h3_out[:] = g3
+    h1_out[:] = jnp.where(keep, h1[:], g1)
+    h2_out[:] = jnp.where(keep, h2[:], g2)
+    h3_out[:] = jnp.where(keep, h3[:], g3)
 
     cat = jnp.concatenate([c2, g1, g2, g3], axis=-1)
     heads = sigmoid_approx(jnp.dot(cat, heads_w[:], precision="float32",
                                    preferred_element_type=jnp.float32)
                            + heads_b[:])
     gains_out[:] = heads[:, :32]
-    vad_out[:] = heads[:, 32:33]
+    vad_out[:] = jnp.where(keep, 0.0, heads[:, 32:33])
 
 
 def compute_rnn_pallas(packed: PackedRNN, state: RNNState, feats: jax.Array,
                        config: ModelConfig = DEFAULT_MODEL,
-                       block: int = 256, interpret: bool = False):
+                       block: int = 256, interpret: bool = False,
+                       silence: jax.Array = None):
     """Drop-in fused replacement for models.rnn.compute_rnn on the quantized,
-    approx-activation path.  Returns (new_state, gains[S,32], vad[S])."""
+    approx-activation path.  Returns (new_state, gains[S,32], vad[S]).
+
+    ``silence`` [S] bool freezes those rows' state and zeroes their VAD
+    inside the kernel (the reference skips compute_rnn on silent frames,
+    denoise.c:474-480); None computes all rows."""
     from jax.experimental import pallas as pl
 
     S = feats.shape[0]
+    if silence is None:
+        sil = jnp.zeros((S, 1), jnp.float32)
+    else:
+        sil = silence.astype(jnp.float32).reshape(S, 1)
     N = config.gru_size
     block = min(block, S)
     assert S % block == 0, "stream count must be divisible by the block size"
@@ -170,7 +183,7 @@ def compute_rnn_pallas(packed: PackedRNN, state: RNNState, feats: jax.Array,
         jax.ShapeDtypeStruct((S, 32), jnp.float32),         # gains
         jax.ShapeDtypeStruct((S, 1), jnp.float32),          # vad
     ]
-    in_specs = [bspec(f_in), bspec(2 * f_in), bspec(2 * cond),
+    in_specs = [bspec(f_in), bspec(1), bspec(2 * f_in), bspec(2 * cond),
                 bspec(N), bspec(N), bspec(N)] + [
         wspec(packed.conv1_w.shape), wspec(packed.conv1_b.shape),
         wspec(packed.conv2_wq.shape), wspec(packed.conv2_scale.shape),
@@ -191,7 +204,7 @@ def compute_rnn_pallas(packed: PackedRNN, state: RNNState, feats: jax.Array,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(feats, state.conv1_mem, state.conv2_mem, state.gru1, state.gru2,
+    )(feats, sil, state.conv1_mem, state.conv2_mem, state.gru1, state.gru2,
       state.gru3, *packed)
 
     c1m, c2m, h1, h2, h3, gains, vad = outs

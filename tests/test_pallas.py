@@ -18,12 +18,17 @@ def test_pallas_rnn_matches_xla(model_params, rng):
     state_b = init_rnn_state(S)
     for t in range(5):
         feats = jnp.asarray(rng.normal(0, 2, (S, 65)), jnp.float32)
-        state_a, g_a, v_a = compute_rnn(model_params, state_a, feats, rt)
+        # exercise the in-kernel silence freeze on alternating steps
+        sil = jnp.asarray([t % 2 == 0] * (S // 2) + [False] * (S - S // 2))
+        state_a, g_a, v_a = compute_rnn(model_params, state_a, feats, rt,
+                                        silence=sil)
         state_b, g_b, v_b = compute_rnn_pallas(packed, state_b, feats,
-                                               block=8, interpret=True)
+                                               block=8, interpret=True,
+                                               silence=sil)
         np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
                                    atol=1e-5, err_msg=f"t={t}")
         np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_b), atol=1e-5)
+        assert np.all(np.asarray(v_b)[np.asarray(sil)] == 0.0)
         for la, lb in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_b)):
             np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                        atol=1e-5)
