@@ -45,6 +45,11 @@ def batched_xcorr(x: jax.Array, y: jax.Array, nlags: int) -> jax.Array:
     """xc[s, i] = sum_j x[s, j] * y[s, i + j]   for i < nlags.
 
     x: [S, K], y: [S, >= nlags + K - 1].  Per-stream filters via grouped conv.
+
+    Stays a single exact-f32 conv: an X3 bf16 split (three convs, ~4e-6 rel
+    err) measured 36% SLOWER end-to-end on v5e at S=3072 — unlike matmuls,
+    tripling the grouped-conv count triples its fixed layout overhead and the
+    f32 conv already runs well above VPU peak (MXU-packed).
     """
     S, K = x.shape
     lhs = y[:, : nlags + K - 1][None, :, :]          # [1, S, L]
