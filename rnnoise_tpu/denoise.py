@@ -146,6 +146,38 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     pitch_buf = jnp.concatenate([state.pitch_buf[:, FRAME_SIZE:], x], axis=-1)
 
     ds = pitch_mod.pitch_downsample(pitch_buf)
+    from .dsp import pallas_analysis, pallas_spectral
+    if (lowpass_bin is None and not training and not exact_pitch_rank
+            and pallas_analysis.analysis_enabled()):
+        # Fused analysis kernel: fine lag table + ranking + doubling ladder
+        # + window extraction + both forward DFTs in one VMEM-resident call
+        # (only the cheap coarse conv stays outside).
+        bp0, bp1 = pitch_mod.coarse_search(ds)
+        Xp, Pp, T0, gain = pallas_analysis.analysis_spectral(
+            state.analysis_mem, x, pitch_buf, ds, bp0, bp1,
+            state.last_period, state.last_gain)
+        X = _to_complex(Xp)
+        P = _to_complex(Pp)
+        analysis_mem = x
+        Ex = compute_band_energy(X)
+        Ep = compute_band_energy(P)
+        Exp_raw = compute_band_corr(X, P)
+        Exp = Exp_raw / jnp.sqrt(0.001 + Ex * Ep)
+        Ly = _log_energy_follower(Ex)
+        E = jnp.sum(Ex, axis=-1)
+        f_bfcc = dct(Ly)
+        f_bfcc = f_bfcc.at[:, 0].add(-12.0).at[:, 1].add(-4.0)
+        f_corr = dct(Exp)
+        f_pitch = 0.01 * (T0.astype(jnp.float32) - 300.0)
+        features = jnp.concatenate([f_bfcc, f_corr, f_pitch[:, None]],
+                                   axis=-1)
+        silence = E < SILENCE_THRESHOLD
+        features = jnp.where(silence[:, None], 0.0, features)
+        new_state = state._replace(analysis_mem=analysis_mem,
+                                   pitch_buf=pitch_buf,
+                                   last_period=T0, last_gain=gain)
+        return new_state, FrameFeatures(X, P, Ex, Ep, Exp, features, silence)
+
     bx = pitch_mod.lag_corr_table(ds)     # shared by fine search + doubling
     pitch = pitch_mod.pitch_search(ds, bx, exact_rank=exact_pitch_rank)
     pitch_index = PITCH_MAX_PERIOD - pitch
@@ -156,7 +188,6 @@ def compute_frame_features(state: DenoiseState, x: jax.Array,
     # (one-hot shifted-sum window extraction — element gathers are slow on TPU)
     start = PITCH_BUF_SIZE - WINDOW_SIZE - T0
     S = x.shape[0]
-    from .dsp import pallas_spectral
     if lowpass_bin is None and pallas_spectral.fused_enabled():
         # Fused Pallas kernel: window extraction + both factored forward DFTs
         # in one VMEM-resident pass.  The spectra come back in the kernels'

@@ -254,6 +254,20 @@ def lag_corr_table(x_lp: jax.Array) -> jax.Array:
 _XCORR_PALLAS = False
 
 
+def coarse_search(x_lp: jax.Array, exact_rank: bool = False):
+    """The 4x-decimated coarse stage of rnn_pitch_search (pitch.c:322-340):
+    returns the top-2 coarse lags (bp0, bp1) [S] int32.  Split out so the
+    fused analysis kernel (dsp.pallas_analysis) can take over from here."""
+    len4 = _N2 // 2                                  # 240
+    nl4 = _MAX_PITCH // 4                            # 147
+    x4 = x_lp[:, _X_OFF::2][:, :len4]                # x_lp4
+    y4 = x_lp[:, 0:2 * ((_N2 * 2 + _MAX_PITCH) // 4):2]   # y_lp4 [S, 387]
+    xc4 = batched_xcorr(x4, y4, nl4)
+    if exact_rank:
+        return find_best_pitch_exact(xc4, y4, len4)
+    return find_best_pitch(xc4, _sliding_syy(y4, len4, nl4))
+
+
 def pitch_search(x_lp: jax.Array, bx: Optional[jax.Array] = None,
                  exact_rank: bool = False) -> jax.Array:
     """x_lp: [S, 864] whitened, decimated pitch buffer.
@@ -266,18 +280,10 @@ def pitch_search(x_lp: jax.Array, bx: Optional[jax.Array] = None,
     ranking; RuntimeConfig.exact_pitch_rank).
     """
     max_pitch = _MAX_PITCH                           # 588
-    len2, len4 = _N2, _N2 // 2                       # 480, 240
-    nl4, nl2 = max_pitch // 4, max_pitch // 2        # 147, 294
+    len2 = _N2                                       # 480
+    nl2 = max_pitch // 2                             # 294
 
-    x4 = x_lp[:, _X_OFF::2][:, :len4]                # x_lp4
-    y4 = x_lp[:, 0:2 * ((len2 * 2 + max_pitch) // 4):2]   # y_lp4 [S, 387]
-
-    # Coarse search, 4x decimated.
-    xc4 = batched_xcorr(x4, y4, nl4)
-    if exact_rank:
-        bp0, bp1 = find_best_pitch_exact(xc4, y4, len4)
-    else:
-        bp0, bp1 = find_best_pitch(xc4, _sliding_syy(y4, len4, nl4))
+    bp0, bp1 = coarse_search(x_lp, exact_rank=exact_rank)
 
     # Fine search, 2x decimated, restricted to lags within 2 of 2*best.
     lags = jnp.arange(nl2, dtype=jnp.int32)[None, :]

@@ -189,3 +189,62 @@ def test_xcorr_kernel_matches_conv(rng):
     got = np.asarray(lag_corr_table_pallas(ds, interpret=True))
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(got, ref, atol=3e-6 * scale)
+
+
+def test_analysis_kernel_matches_xla_chain(rng):
+    """The fused analysis kernel (interpret mode) vs the XLA chain it
+    replaces: fine lag table + pitch search + remove_doubling + window
+    extraction + forward DFTs, over a stateful multi-frame run."""
+    import jax.numpy as jnp
+    from rnnoise_tpu.config import (PITCH_BUF_SIZE, PITCH_MAX_PERIOD,
+                                    WINDOW_SIZE, PITCH_MIN_PERIOD)
+    from rnnoise_tpu.dsp import pitch as pm
+    from rnnoise_tpu.dsp import transform as tr
+    from rnnoise_tpu.dsp import pallas_spectral as ps
+    from rnnoise_tpu.dsp.pallas_analysis import analysis_spectral
+    from rnnoise_tpu.dsp.gather import take_window
+    from tests.conftest import speechlike
+
+    S = 4
+    bufs = np.stack([
+        speechlike(rng, PITCH_BUF_SIZE, f0=f0, noise=nz) * amp
+        for f0, nz, amp in [(130, .1, 3000), (70, .4, 8000),
+                            (221, .05, 600), (100, .9, 2000)]])
+    pitch_buf = jnp.asarray(bufs, jnp.float32)
+    mem = jnp.asarray(500 * rng.standard_normal((S, 480)), jnp.float32)
+    x = jnp.asarray(500 * rng.standard_normal((S, 480)), jnp.float32)
+    prev_p = jnp.asarray(rng.integers(60, 700, S), jnp.int32)
+    prev_g = jnp.asarray(rng.uniform(0, 1, S), jnp.float32)
+
+    # XLA reference chain
+    ds = pm.pitch_downsample(pitch_buf)
+    bx = pm.lag_corr_table(ds)
+    pitch = pm.pitch_search(ds, bx)
+    T0_ref, gain_ref = pm.remove_doubling(
+        ds, PITCH_MAX_PERIOD - pitch, prev_p, prev_g, bx)
+    try:
+        tr.set_dft_mode("matmul")
+        tr.set_dft_precision("f32")
+        start = PITCH_BUF_SIZE - WINDOW_SIZE - T0_ref
+        p = take_window(pitch_buf, start, WINDOW_SIZE,
+                        max_start=PITCH_BUF_SIZE - WINDOW_SIZE
+                        - PITCH_MIN_PERIOD)
+        X_ref = tr.windowed_forward_transform(
+            jnp.concatenate([mem, x], axis=-1))
+        P_ref = tr.windowed_forward_transform(p)
+    finally:
+        tr.set_dft_mode("auto")
+        tr.set_dft_precision("auto")
+
+    bp0, bp1 = pm.coarse_search(ds)
+    Xp, Pp, T0, gain = analysis_spectral(mem, x, pitch_buf, ds, bp0, bp1,
+                                         prev_p, prev_g, interpret=True)
+    np.testing.assert_array_equal(np.asarray(T0), np.asarray(T0_ref))
+    np.testing.assert_allclose(np.asarray(gain), np.asarray(gain_ref),
+                               atol=2e-5)
+    Xr = np.asarray(ps.permute_spectrum(X_ref))
+    Pr = np.asarray(ps.permute_spectrum(P_ref))
+    scale = np.abs(Xr).max()
+    np.testing.assert_allclose(np.asarray(Xp), Xr, atol=3e-5 * scale)
+    scale_p = max(np.abs(Pr).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(Pp), Pr, atol=3e-5 * scale_p)
