@@ -337,6 +337,49 @@ void rnnt_pool_commit(StreamPool* p, int t_frames, const float* batch,
   });
 }
 
+// Time-major variants: batch is laid out [T, S, 480] so the device scan can
+// consume/produce it without boundary transposes (denoise.process_frames_tm).
+// Rings move one 480-sample frame per memcpy; the stride between a slot's
+// consecutive frames is the full stream axis.
+void rnnt_pool_assemble_tm(StreamPool* p, int t_frames, float* batch,
+                           int32_t* frame_counts, uint8_t* reset_mask) {
+  const size_t stride = (size_t)p->n_slots * kFrameSize;
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    for (int s = b; s < e; s++) {
+      reset_mask[s] = p->needs_reset[s];
+      p->needs_reset[s] = 0;
+      int take = 0;
+      if (p->active[s]) {
+        size_t whole = p->in_rings[s].size / kFrameSize;
+        take = (whole >= (size_t)t_frames) ? t_frames : 0;
+      }
+      frame_counts[s] = take;
+      for (int t = 0; t < t_frames; t++) {
+        float* dst = batch + (size_t)t * stride + (size_t)s * kFrameSize;
+        if (t < take)
+          p->in_rings[s].pop_f32(dst, kFrameSize);
+        else
+          memset(dst, 0, kFrameSize * sizeof(float));
+      }
+    }
+  });
+}
+
+void rnnt_pool_commit_tm(StreamPool* p, int t_frames, const float* batch,
+                         const int32_t* frame_counts) {
+  const size_t stride = (size_t)p->n_slots * kFrameSize;
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    for (int s = b; s < e; s++) {
+      int take = frame_counts[s];
+      for (int t = 0; t < take; t++) {
+        const float* src = batch + (size_t)t * stride
+                           + (size_t)s * kFrameSize;
+        p->out_rings[s].push_f32(src, kFrameSize);
+      }
+    }
+  });
+}
+
 // ---------------------------------------------------------------------------
 // DNNw weight-blob validation (native port of parse_weights,
 // reference src/parse_lpcnet_weights.c:37-78).  Returns the number of arrays,

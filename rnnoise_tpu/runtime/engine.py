@@ -2,7 +2,7 @@
 
 The scale-out runtime of SURVEY.md §7.8: N streams attach/detach into padded
 batch slots (no recompilation — the batch shape is fixed and inactive slots
-are masked), the native side assembles contiguous [S, T, 480] frames, the
+are masked), the native side assembles contiguous time-major [T, S, 480] frames, the
 device advances all streams in one jitted dispatch, and results scatter back
 into per-stream output rings.
 
@@ -22,7 +22,7 @@ import numpy as np
 
 from ..api import RNNoise
 from ..config import DEFAULT_MODEL, DEFAULT_RUNTIME, RuntimeConfig
-from ..denoise import init_state, process_frames, reset_streams
+from ..denoise import init_state, process_frames_tm, reset_streams
 from .native import StreamPool
 
 
@@ -48,12 +48,13 @@ class StreamingEngine:
 
         @jax.jit
         def _tick(state, pcm, counts, reset_mask):
+            # pcm is time-major [T, S, 480] straight from the native pool.
             state = reset_streams(state, reset_mask)
             prev = state
-            state, out, vad = process_frames(params, state, pcm, runtime)
+            state, out, vad = process_frames_tm(params, state, pcm, runtime)
             # Roll back streams that had no full chunk this tick (starved or
             # inactive): their zero-padded frames must not advance state.
-            full = counts >= pcm.shape[1]
+            full = counts >= pcm.shape[0]
             state = jax.tree.map(
                 lambda new, old: jnp.where(
                     full.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
@@ -88,7 +89,7 @@ class StreamingEngine:
         T = self.chunk_frames
         # assembly is all-or-nothing per slot (see streamio.cc), so counts is
         # either T or 0 and no re-queueing is ever needed
-        batch, counts, reset = self.pool.assemble(T)
+        batch, counts, reset = self.pool.assemble_tm(T)
         self.state, out, _vad = self._tick(
             self.state, jnp.asarray(batch),
             jnp.asarray(counts), jnp.asarray(reset.astype(bool)))
@@ -98,11 +99,11 @@ class StreamingEngine:
             advanced = 0
             if self._pending is not None:
                 p_out, p_counts = self._pending
-                self.pool.commit(T, np.asarray(p_out), p_counts)
+                self.pool.commit_tm(T, np.asarray(p_out), p_counts)
                 advanced = int((p_counts >= T).sum())
             self._pending = (out, counts)
             return advanced
-        self.pool.commit(T, np.asarray(out), counts)
+        self.pool.commit_tm(T, np.asarray(out), counts)
         return int((counts >= T).sum())
 
     def flush(self) -> int:
@@ -111,5 +112,5 @@ class StreamingEngine:
             return 0
         p_out, p_counts = self._pending
         self._pending = None
-        self.pool.commit(self.chunk_frames, np.asarray(p_out), p_counts)
+        self.pool.commit_tm(self.chunk_frames, np.asarray(p_out), p_counts)
         return int((p_counts >= self.chunk_frames).sum())

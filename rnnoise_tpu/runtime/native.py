@@ -60,6 +60,10 @@ def get_lib() -> ct.CDLL:
         lib.rnnt_pool_assemble.argtypes = [ct.c_void_p, ct.c_int, _f32p,
                                            _i32p, _u8p]
         lib.rnnt_pool_commit.argtypes = [ct.c_void_p, ct.c_int, _f32p, _i32p]
+        lib.rnnt_pool_assemble_tm.argtypes = [ct.c_void_p, ct.c_int, _f32p,
+                                              _i32p, _u8p]
+        lib.rnnt_pool_commit_tm.argtypes = [ct.c_void_p, ct.c_int, _f32p,
+                                            _i32p]
         lib.rnnt_blob_validate.restype = ct.c_int
         lib.rnnt_blob_validate.argtypes = [ct.c_char_p, ct.c_int64,
                                            ct.c_char_p, ct.c_int64]
@@ -124,6 +128,23 @@ class StreamPool:
     def commit(self, t_frames: int, batch: np.ndarray,
                counts: np.ndarray) -> None:
         self._lib.rnnt_pool_commit(
+            self._p, t_frames, np.ascontiguousarray(batch, np.float32),
+            np.ascontiguousarray(counts, np.int32))
+
+    def assemble_tm(self, t_frames: int):
+        """Time-major assembly: [T, S, 480] (for denoise.process_frames_tm —
+        no boundary transposes on the device)."""
+        S = self.n_slots
+        batch = np.empty((t_frames, S, 480), np.float32)
+        counts = np.empty(S, np.int32)
+        reset = np.empty(S, np.uint8)
+        self._lib.rnnt_pool_assemble_tm(self._p, t_frames, batch, counts,
+                                        reset)
+        return batch, counts, reset
+
+    def commit_tm(self, t_frames: int, batch: np.ndarray,
+                  counts: np.ndarray) -> None:
+        self._lib.rnnt_pool_commit_tm(
             self._p, t_frames, np.ascontiguousarray(batch, np.float32),
             np.ascontiguousarray(counts, np.int32))
 
