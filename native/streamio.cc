@@ -380,6 +380,50 @@ void rnnt_pool_commit_tm(StreamPool* p, int t_frames, const float* batch,
   });
 }
 
+// Raw-int16 time-major variants: pure frame memcpys between the rings and a
+// [T, S, 480] int16 tensor — the int16<->f32 conversion moves onto the
+// device (denoise.process_frames_tm_i16), halving host<->device bytes and
+// removing the host conversion loops from the tick.
+void rnnt_pool_assemble_tm_i16(StreamPool* p, int t_frames, int16_t* batch,
+                               int32_t* frame_counts, uint8_t* reset_mask) {
+  const size_t stride = (size_t)p->n_slots * kFrameSize;
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    for (int s = b; s < e; s++) {
+      reset_mask[s] = p->needs_reset[s];
+      p->needs_reset[s] = 0;
+      int take = 0;
+      if (p->active[s]) {
+        size_t whole = p->in_rings[s].size / kFrameSize;
+        take = (whole >= (size_t)t_frames) ? t_frames : 0;
+      }
+      frame_counts[s] = take;
+      for (int t = 0; t < t_frames; t++) {
+        int16_t* dst = batch + (size_t)t * stride + (size_t)s * kFrameSize;
+        if (t < take)
+          p->in_rings[s].pop(dst, kFrameSize);
+        else
+          memset(dst, 0, kFrameSize * sizeof(int16_t));
+      }
+    }
+  });
+}
+
+void rnnt_pool_commit_tm_i16(StreamPool* p, int t_frames,
+                             const int16_t* batch,
+                             const int32_t* frame_counts) {
+  const size_t stride = (size_t)p->n_slots * kFrameSize;
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    for (int s = b; s < e; s++) {
+      int take = frame_counts[s];
+      for (int t = 0; t < take; t++) {
+        const int16_t* src = batch + (size_t)t * stride
+                             + (size_t)s * kFrameSize;
+        p->out_rings[s].push(src, kFrameSize);
+      }
+    }
+  });
+}
+
 // ---------------------------------------------------------------------------
 // DNNw weight-blob validation (native port of parse_weights,
 // reference src/parse_lpcnet_weights.c:37-78).  Returns the number of arrays,

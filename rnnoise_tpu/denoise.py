@@ -396,3 +396,21 @@ def process_frames(params: Optional[ModelParams], state: DenoiseState,
     state, out, vad = process_frames_tm(params, state,
                                         jnp.moveaxis(pcm, 1, 0), rt)
     return state, jnp.moveaxis(out, 0, 1), jnp.moveaxis(vad, 0, 1)
+
+
+def process_frames_tm_i16(params: Optional[ModelParams], state: DenoiseState,
+                          pcm: jax.Array,
+                          rt: RuntimeConfig = DEFAULT_RUNTIME):
+    """Int16-at-the-boundary variant of :func:`process_frames_tm`:
+    pcm [T, S, FRAME_SIZE] int16 -> (state, out int16, vad).
+
+    The int16<->f32 conversions run on-device, so the host moves HALF the
+    bytes per tick and skips its conversion loops entirely (they dominated
+    the single-core host tick).  Output rounding is bit-identical to the
+    native ring's float path: round half away from zero, clip to int16
+    (streamio.cc Ring::push_f32)."""
+    state, out, vad = process_frames_tm(params, state,
+                                        pcm.astype(jnp.float32), rt)
+    rounded = jnp.trunc(jnp.where(out > 0, out + 0.5, out - 0.5))
+    out_i16 = jnp.clip(rounded, -32768.0, 32767.0).astype(jnp.int16)
+    return state, out_i16, vad

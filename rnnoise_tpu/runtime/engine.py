@@ -22,7 +22,7 @@ import numpy as np
 
 from ..api import RNNoise
 from ..config import DEFAULT_MODEL, DEFAULT_RUNTIME, RuntimeConfig
-from ..denoise import init_state, process_frames_tm, reset_streams
+from ..denoise import init_state, process_frames_tm_i16, reset_streams
 from .native import StreamPool
 
 
@@ -48,10 +48,13 @@ class StreamingEngine:
 
         @jax.jit
         def _tick(state, pcm, counts, reset_mask):
-            # pcm is time-major [T, S, 480] straight from the native pool.
+            # pcm is raw time-major [T, S, 480] int16 straight from the
+            # rings; int16<->f32 conversion happens on-device (half the
+            # host<->device bytes, no host conversion loops).
             state = reset_streams(state, reset_mask)
             prev = state
-            state, out, vad = process_frames_tm(params, state, pcm, runtime)
+            state, out, vad = process_frames_tm_i16(params, state, pcm,
+                                                    runtime)
             # Roll back streams that had no full chunk this tick (starved or
             # inactive): their zero-padded frames must not advance state.
             full = counts >= pcm.shape[0]
@@ -89,7 +92,7 @@ class StreamingEngine:
         T = self.chunk_frames
         # assembly is all-or-nothing per slot (see streamio.cc), so counts is
         # either T or 0 and no re-queueing is ever needed
-        batch, counts, reset = self.pool.assemble_tm(T)
+        batch, counts, reset = self.pool.assemble_tm_i16(T)
         self.state, out, _vad = self._tick(
             self.state, jnp.asarray(batch),
             jnp.asarray(counts), jnp.asarray(reset.astype(bool)))
@@ -99,11 +102,11 @@ class StreamingEngine:
             advanced = 0
             if self._pending is not None:
                 p_out, p_counts = self._pending
-                self.pool.commit_tm(T, np.asarray(p_out), p_counts)
+                self.pool.commit_tm_i16(T, np.asarray(p_out), p_counts)
                 advanced = int((p_counts >= T).sum())
             self._pending = (out, counts)
             return advanced
-        self.pool.commit_tm(T, np.asarray(out), counts)
+        self.pool.commit_tm_i16(T, np.asarray(out), counts)
         return int((counts >= T).sum())
 
     def flush(self) -> int:
@@ -112,5 +115,6 @@ class StreamingEngine:
             return 0
         p_out, p_counts = self._pending
         self._pending = None
-        self.pool.commit_tm(self.chunk_frames, np.asarray(p_out), p_counts)
+        self.pool.commit_tm_i16(self.chunk_frames, np.asarray(p_out),
+                                p_counts)
         return int((p_counts >= self.chunk_frames).sum())

@@ -64,6 +64,10 @@ def get_lib() -> ct.CDLL:
                                               _i32p, _u8p]
         lib.rnnt_pool_commit_tm.argtypes = [ct.c_void_p, ct.c_int, _f32p,
                                             _i32p]
+        lib.rnnt_pool_assemble_tm_i16.argtypes = [ct.c_void_p, ct.c_int,
+                                                  _i16p, _i32p, _u8p]
+        lib.rnnt_pool_commit_tm_i16.argtypes = [ct.c_void_p, ct.c_int,
+                                                _i16p, _i32p]
         lib.rnnt_blob_validate.restype = ct.c_int
         lib.rnnt_blob_validate.argtypes = [ct.c_char_p, ct.c_int64,
                                            ct.c_char_p, ct.c_int64]
@@ -146,6 +150,23 @@ class StreamPool:
                   counts: np.ndarray) -> None:
         self._lib.rnnt_pool_commit_tm(
             self._p, t_frames, np.ascontiguousarray(batch, np.float32),
+            np.ascontiguousarray(counts, np.int32))
+
+    def assemble_tm_i16(self, t_frames: int):
+        """Raw-int16 time-major assembly (no host conversion): [T, S, 480]
+        int16 + counts + reset mask."""
+        S = self.n_slots
+        batch = np.empty((t_frames, S, 480), np.int16)
+        counts = np.empty(S, np.int32)
+        reset = np.empty(S, np.uint8)
+        self._lib.rnnt_pool_assemble_tm_i16(self._p, t_frames, batch,
+                                            counts, reset)
+        return batch, counts, reset
+
+    def commit_tm_i16(self, t_frames: int, batch: np.ndarray,
+                      counts: np.ndarray) -> None:
+        self._lib.rnnt_pool_commit_tm_i16(
+            self._p, t_frames, np.ascontiguousarray(batch, np.int16),
             np.ascontiguousarray(counts, np.int32))
 
 

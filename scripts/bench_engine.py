@@ -54,24 +54,25 @@ def main():
         pcm = (3000 * rng.standard_normal((S, T * 480))).astype(np.int16)
         audio_s = T * 480 / 48000.0
 
-        # --- host path only: rings + assemble + commit ------------------
+        # --- host path only: rings + assemble + commit (the engine's raw
+        # int16 time-major path: pure frame memcpys, no conversion) --------
         n = 20
         eng.pool.push_all(pcm)
-        batch, counts, reset = eng.pool.assemble(T)   # warm
-        eng.pool.commit(T, batch, counts)
+        batch, counts, reset = eng.pool.assemble_tm_i16(T)   # warm
+        eng.pool.commit_tm_i16(T, batch, counts)
         eng.pool.pull_all(T * 480)
         t0 = time.perf_counter()
         for _ in range(n):
             eng.pool.push_all(pcm)
-            batch, counts, reset = eng.pool.assemble(T)
-            eng.pool.commit(T, batch, counts)
+            batch, counts, reset = eng.pool.assemble_tm_i16(T)
+            eng.pool.commit_tm_i16(T, batch, counts)
             eng.pool.pull_all(T * 480)
         host_dt = (time.perf_counter() - t0) / n
         print(f"S={S} host:   {host_dt*1e3:7.1f} ms/tick -> "
               f"{S*audio_s/host_dt:9.0f} realtime streams", flush=True)
 
         # --- device step only (state-chained, same as bench.py) ---------
-        dev_pcm = jnp.asarray(batch)
+        dev_pcm = jnp.asarray(batch)                  # [T, S, 480] int16
         st = eng.state
         cj = jnp.asarray(counts)
         rj = jnp.asarray(np.zeros(S, bool))
@@ -81,7 +82,7 @@ def main():
         for _ in range(5):
             t0 = time.perf_counter()
             st, out, _ = eng._tick(st, dev_pcm, cj, rj)
-            cs = float(jnp.sum(out[:, -1, -1]))
+            cs = float(jnp.sum(out[-1, :, -1]))
             times.append(time.perf_counter() - t0)
         dev_dt = min(times)
         print(f"S={S} device: {dev_dt*1e3:7.1f} ms/tick -> "
