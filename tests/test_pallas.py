@@ -248,3 +248,46 @@ def test_analysis_kernel_matches_xla_chain(rng):
     np.testing.assert_allclose(np.asarray(Xp), Xr, atol=3e-5 * scale)
     scale_p = max(np.abs(Pr).max(), 1.0)
     np.testing.assert_allclose(np.asarray(Pp), Pr, atol=3e-5 * scale_p)
+
+
+def test_grid_carry_scratch_mechanism():
+    """Validates the whole-frame-monokernel mechanism (CLAUDE.md round-3
+    roadmap): VMEM scratch persists across a SEQUENTIAL trailing grid
+    dimension, so per-stream state can live in VMEM for a whole T-chunk.
+    Computes x_t = 0.5 x_{t-1} + in_t for 8 steps entirely in scratch.
+    (Also validated bit-exact on v5e hardware, r2.)"""
+    import functools
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, T, D = 16, 8, 128
+
+    def kernel(inp_ref, out_ref, carry):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            carry[:] = jnp.zeros_like(carry)
+
+        c = carry[:] * 0.5 + inp_ref[:]
+        carry[:] = c
+        out_ref[:] = c
+
+    rng = np.random.default_rng(0)
+    inp = jnp.asarray(rng.standard_normal((T, S, D)), jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(1, T),
+        in_specs=[pl.BlockSpec((1, S, D), lambda i, t: (t, 0, 0))],
+        out_specs=pl.BlockSpec((1, S, D), lambda i, t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, S, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, S, D), jnp.float32)],
+        interpret=True,
+    )(inp)
+    ref = np.zeros((S, D), np.float32)
+    refs = []
+    for t in range(T):
+        ref = ref * 0.5 + np.asarray(inp[t])
+        refs.append(ref.copy())
+    np.testing.assert_array_equal(np.asarray(out), np.stack(refs))
