@@ -94,48 +94,42 @@ def _take_row(table, idx):
     return jnp.sum(jnp.where(iota == idx[:, None], table, 0.0), axis=1)
 
 
-def _analysis_kernel(mem_ref, x_ref, buf_ref, ds_ref, bp01_ref, prevp_ref,
-                     prevg_ref,
-                     # 960-pt forward consts
-                     win_ref, tc0, ts0, tc1, ts1, tc2, ts2,
-                     mch9, mcl9, mrh9, mrl9,
-                     # 1024-pt correlation consts (flat, pallas_xcorr order)
-                     ftc0, fts0, ftc1, fts1, ftc2, fts2,
-                     itc0, its0, itc1, its1, itc2, its2,
-                     mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl,
-                     box_ref,
-                     X_ref, P_ref, t0_ref, pg_ref, *, block):
+def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
+                c1024, box_w, block):
+    """Value-level fine-pitch span: ds [B, 864] whitened, coarse candidates
+    bp0/bp1 [B], previous period (48 kHz units) / gain [B].  Returns
+    (T0_out [B] int32, pg [B]) — shared by the analysis kernel and the
+    whole-frame monokernel (pallas_frame)."""
     f32 = jnp.float32
-    ds = ds_ref[:]
+    (ftc0, fts0, ftc1, fts1, ftc2, fts2,
+     itc0, its0, itc1, its1, itc2, its2,
+     mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl) = c1024
 
     # ---- fine lag table bx[u], lag = u (bx[u] = corr at lag u) ------------
     z_x = jnp.zeros((block, _N - (_DS_LEN - _X_OFF)), f32)
     z_y = jnp.zeros((block, _N - _DS_LEN), f32)
     xsig = jnp.concatenate([ds[:, _X_OFF:], z_x], axis=1)
     ysig = jnp.concatenate([ds, z_y], axis=1)
-    ftws = [(ftc0[:], fts0[:]), (ftc1[:], fts1[:]), (ftc2[:], fts2[:])]
-    itws = [(itc0[:], its0[:]), (itc1[:], its1[:]), (itc2[:], its2[:])]
-    xr, xi = _dif_forward_1024(xsig, ftws, mch[:], mcl[:], mrh[:], mrl[:])
-    yr, yi = _dif_forward_1024(ysig, ftws, mch[:], mcl[:], mrh[:], mrl[:])
+    ftws = [(ftc0, fts0), (ftc1, fts1), (ftc2, fts2)]
+    itws = [(itc0, its0), (itc1, its1), (itc2, its2)]
+    xr, xi = _dif_forward_1024(xsig, ftws, mch, mcl, mrh, mrl)
+    yr, yi = _dif_forward_1024(ysig, ftws, mch, mcl, mrh, mrl)
     cr = xr * yr + xi * yi
     ci = xr * yi - xi * yr
-    corr = _dif_inverse_1024(cr, ci, Ah[:], Al[:], B0h[:], B0l[:],
-                             Bjh[:], Bjl[:], itws)
+    corr = _dif_inverse_1024(cr, ci, Ah, Al, B0h, B0l, Bjh, Bjl, itws)
     bx = corr[:, :_NLAGS]                       # [B, 385]; bx[u] = lag u
 
     # ---- sliding 480-tap energies: one banded matmul ----------------------
     d2 = ds * ds
     d2h = d2.astype(jnp.bfloat16)
     d2l = (d2 - d2h.astype(f32)).astype(jnp.bfloat16)
-    W = box_ref[:]
-    box = (jnp.dot(d2h, W, preferred_element_type=f32)
-           + jnp.dot(d2l, W, preferred_element_type=f32))   # [B, 385]
+    box = (jnp.dot(d2h, box_w, preferred_element_type=f32)
+           + jnp.dot(d2l, box_w, preferred_element_type=f32))  # [B, 385]
     yy_rev_fwd = jnp.maximum(0.0, box)          # energy at lag u
 
     # ---- fine search (pitch.pitch_search fine stage, ratio ranking) -------
-    bp01 = bp01_ref[:]
-    bp0 = bp01[:, 0:1]
-    bp1 = bp01[:, 1:2]
+    bp0 = bp0[:, None]
+    bp1 = bp1[:, None]
     lags = jax.lax.broadcasted_iota(jnp.int32, (block, _NL2), 1)
     cand = (jnp.abs(lags - 2 * bp0) <= 2) | (jnp.abs(lags - 2 * bp1) <= 2)
     xc2 = jnp.where(cand, jnp.maximum(-1.0, bx[:, :_NL2]), 0.0)
@@ -164,8 +158,7 @@ def _analysis_kernel(mem_ref, x_ref, buf_ref, ds_ref, bp01_ref, prevp_ref,
     # bx/box are indexed by window-start u; a period lag t reads u = 384 - t
     # (exactly pitch.remove_doubling's index flip).
     T0 = jnp.minimum(pitch_index // 2, _MAXP2 - 1).astype(jnp.int32)
-    prev_period = (prevp_ref[:][:, 0] // 2).astype(jnp.int32)
-    prev_gain = prevg_ref[:][:, 0]
+    prev_period = (prev_period_48k // 2).astype(jnp.int32)
 
     def lag_corr(t):
         return _take_row(bx, _MAXP2 - t)
@@ -214,6 +207,28 @@ def _analysis_kernel(mem_ref, x_ref, buf_ref, ds_ref, bp01_ref, prevp_ref,
                      jnp.where((xc_m - xc_p) > 0.7 * (xc_0 - xc_p),
                                -1, 0)).astype(jnp.int32)
     T0_out = jnp.maximum(2 * T + off2, PITCH_MIN_PERIOD).astype(jnp.int32)
+    return T0_out, pg
+
+
+def _analysis_kernel(mem_ref, x_ref, buf_ref, ds_ref, bp01_ref, prevp_ref,
+                     prevg_ref,
+                     # 960-pt forward consts
+                     win_ref, tc0, ts0, tc1, ts1, tc2, ts2,
+                     mch9, mcl9, mrh9, mrl9,
+                     # 1024-pt correlation consts (flat, pallas_xcorr order)
+                     ftc0, fts0, ftc1, fts1, ftc2, fts2,
+                     itc0, its0, itc1, its1, itc2, its2,
+                     mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl,
+                     box_ref,
+                     X_ref, P_ref, t0_ref, pg_ref, *, block):
+    c1024 = (ftc0[:], fts0[:], ftc1[:], fts1[:], ftc2[:], fts2[:],
+             itc0[:], its0[:], itc1[:], its1[:], itc2[:], its2[:],
+             mch[:], mcl[:], mrh[:], mrl[:], Ah[:], Al[:],
+             B0h[:], B0l[:], Bjh[:], Bjl[:])
+    bp01 = bp01_ref[:]
+    T0_out, pg = _pitch_body(ds_ref[:], bp01[:, 0], bp01[:, 1],
+                             prevp_ref[:][:, 0], prevg_ref[:][:, 0],
+                             c1024, box_ref[:], block)
     t0_ref[:] = T0_out[:, None]
     pg_ref[:] = pg[:, None]
 

@@ -434,28 +434,22 @@ def _post_consts():
         _bf16_split(band.astype(np.float32))
 
 
-def _post_kernel(dX, dP, dEx, dEp, dExp, g_ref, lastg_ref, Ex_ref, sil_ref,
-                 smem_ref,
-                 ih, il, bh, bl, Ah, Al, B0h, B0l, Bjh, Bjl,
-                 tc0, ts0, tc1, ts1, tc2, ts2, win_ref,
-                 out_ref, smem_out, lastg_out):
-    """Fused rnn_pitch_filter + gain smoothing/apply + silence blend +
-    factored inverse DFT + OLA (reference denoise.c:421-455, 477-496) on the
-    permuted-spectrum state.  One VMEM round trip for the whole delayed-frame
-    post-processing tail instead of ~6 HBM-sized fusions."""
+def _post_body(dX, dP, dEx_, dEp, dExp, g, lastg, Ex, sil, smem,
+               ih, il, bh, bl, Ah, Al, B0h, B0l, Bjh, Bjl, tws, win):
+    """Value-level fused rnn_pitch_filter + gain smoothing/apply + silence
+    blend + factored inverse DFT + OLA (reference denoise.c:421-455,
+    477-496) on permuted spectra.  sil: [B, 1] bool.  Returns
+    (out_pcm, new_smem, new_lastg) — shared by the per-frame kernel and the
+    whole-frame monokernel."""
     Xre, Xim = dX[:, :PERM_WIDTH], dX[:, PERM_WIDTH:]
     Pre, Pim = dP[:, :PERM_WIDTH], dP[:, PERM_WIDTH:]
-    g = g_ref[:]
-    lastg = lastg_ref[:]
-    dEx_ = dEx[:]
-    ih, il, bh, bl = ih[:], il[:], bh[:], bl[:]
     sq = lambda v: v * v  # noqa: E731
 
     # per-band comb strength r (denoise.c:429-441)
-    r = jnp.where(dExp[:] > g, 1.0,
-                  sq(dExp[:]) * (1.0 - sq(g))
-                  / (0.001 + sq(g) * (1.0 - sq(dExp[:]))))
-    r = jnp.sqrt(jnp.clip(r, 0.0, 1.0)) * jnp.sqrt(dEx_ / (1e-8 + dEp[:]))
+    r = jnp.where(dExp > g, 1.0,
+                  sq(dExp) * (1.0 - sq(g))
+                  / (0.001 + sq(g) * (1.0 - sq(dExp))))
+    r = jnp.sqrt(jnp.clip(r, 0.0, 1.0)) * jnp.sqrt(dEx_ / (1e-8 + dEp))
     rf = _x3_dot(r, ih, il)                                # [B, 488]
     Yre = Xre + rf * Pre
     Yim = Xim + rf * Pim
@@ -469,18 +463,27 @@ def _post_kernel(dX, dP, dEx, dEp, dExp, g_ref, lastg_ref, Ex_ref, sil_ref,
     scale = _x3_dot(norm, ih, il) * _x3_dot(gc, ih, il)
     Yre = Yre * scale
     Yim = Yim * scale
-    sil = sil_ref[:] > 0.5
     Yre = jnp.where(sil, Xre, Yre)
     Yim = jnp.where(sil, Xim, Yim)
-    lastg_new = jnp.minimum(1.0, gc * (dEx_ + 1e-3) / (Ex_ref[:] + 1e-3))
-    lastg_out[:] = jnp.where(sil, lastg, lastg_new)
+    lastg_new = jnp.minimum(1.0, gc * (dEx_ + 1e-3) / (Ex + 1e-3))
+    lastg_new = jnp.where(sil, lastg, lastg_new)
 
-    tws = [(tc0[:], ts0[:]), (tc1[:], ts1[:]), (tc2[:], ts2[:])]
     x = _dif_inverse(jnp.concatenate([Yre, Yim], axis=1),
-                     Ah[:], Al[:], B0h[:], B0l[:], Bjh[:], Bjl[:],
-                     tws, win_ref[:])
-    out_ref[:] = x[:, :FRAME_SIZE] + smem_ref[:]
-    smem_out[:] = x[:, FRAME_SIZE:]
+                     Ah, Al, B0h, B0l, Bjh, Bjl, tws, win)
+    return x[:, :FRAME_SIZE] + smem, x[:, FRAME_SIZE:], lastg_new
+
+
+def _post_kernel(dX, dP, dEx, dEp, dExp, g_ref, lastg_ref, Ex_ref, sil_ref,
+                 smem_ref,
+                 ih, il, bh, bl, Ah, Al, B0h, B0l, Bjh, Bjl,
+                 tc0, ts0, tc1, ts1, tc2, ts2, win_ref,
+                 out_ref, smem_out, lastg_out):
+    tws = [(tc0[:], ts0[:]), (tc1[:], ts1[:]), (tc2[:], ts2[:])]
+    out_ref[:], smem_out[:], lastg_out[:] = _post_body(
+        dX[:], dP[:], dEx[:], dEp[:], dExp[:], g_ref[:], lastg_ref[:],
+        Ex_ref[:], sil_ref[:] > 0.5, smem_ref[:],
+        ih[:], il[:], bh[:], bl[:], Ah[:], Al[:], B0h[:], B0l[:],
+        Bjh[:], Bjl[:], tws, win_ref[:])
 
 
 def postfilter_synthesis(dX, dP, dEx, dEp, dExp, g, lastg, Ex, silence,

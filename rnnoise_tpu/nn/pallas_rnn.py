@@ -94,29 +94,24 @@ def _qmat(xq, wq, scale):
     return acc.astype(jnp.float32) * scale
 
 
-def _kernel(feats, sil, c1m, c2m, h1, h2, h3,
-            conv1_w, conv1_b, conv2_wq, conv2_scale, conv2_b,
-            gru_in_wq, gru_in_scale, gru_in_b,
-            gru_rec_wq, gru_rec_scale, gru_rec_b, gru_diag,
-            heads_w, heads_b,
-            c1m_out, c2m_out, h1_out, h2_out, h3_out, gains_out, vad_out,
-            *, gru_size):
+def _rnn_body(f, keep, c1m, c2m, h1, h2, h3,
+              conv1_w, conv1_b, conv2_wq, conv2_scale, conv2_b,
+              gru_in_wq, gru_in_scale, gru_in_b,
+              gru_rec_wq, gru_rec_scale, gru_rec_b, gru_diag,
+              heads_w, heads_b, gru_size):
+    """Value-level fused RNN step with in-body silence freeze (keep [B, 1]
+    bool) — shared by the per-frame kernel and the whole-frame monokernel.
+    Returns (c1m, c2m, h1, h2, h3, gains, vad[B, 1])."""
     N = gru_size
-    # silence freeze IN-kernel (denoise.c skips compute_rnn for silent
-    # frames): keep==1 rows write back their old state and vad 0 — saves the
-    # caller's five where-passes over the state tensors in HBM.
-    keep = sil[:] > 0.0                                 # [block, 1] bool
-    f = feats[:]
-    tmp1 = jnp.concatenate([c1m[:], f], axis=-1)
-    c1 = tanh_approx(jnp.dot(tmp1, conv1_w[:], precision="float32",
+    tmp1 = jnp.concatenate([c1m, f], axis=-1)
+    c1 = tanh_approx(jnp.dot(tmp1, conv1_w, precision="float32",
                              preferred_element_type=jnp.float32)
-                     + conv1_b[:])
-    c1m_out[:] = jnp.where(keep, c1m[:], tmp1[:, f.shape[-1]:])
+                     + conv1_b)
+    c1m_n = jnp.where(keep, c1m, tmp1[:, f.shape[-1]:])
 
-    tmp2 = jnp.concatenate([c2m[:], c1], axis=-1)
-    c2 = tanh_approx(_qmat(_quant(tmp2), conv2_wq[:], conv2_scale[:])
-                     + conv2_b[:])
-    c2m_out[:] = jnp.where(keep, c2m[:], tmp2[:, c1.shape[-1]:])
+    tmp2 = jnp.concatenate([c2m, c1], axis=-1)
+    c2 = tanh_approx(_qmat(_quant(tmp2), conv2_wq, conv2_scale) + conv2_b)
+    c2m_n = jnp.where(keep, c2m, tmp2[:, c1.shape[-1]:])
 
     def gru(i, h, x):
         zrh = _qmat(_quant(x), gru_in_wq[i], gru_in_scale[i]) + gru_in_b[i]
@@ -129,19 +124,39 @@ def _kernel(feats, sil, c1m, c2m, h1, h2, h3,
         hh = tanh_approx(zrh[:, 2 * N:] + rec[:, 2 * N:] * r)
         return z * h + (1.0 - z) * hh
 
-    g1 = gru(0, h1[:], c2)
-    g2 = gru(1, h2[:], g1)
-    g3 = gru(2, h3[:], g2)
-    h1_out[:] = jnp.where(keep, h1[:], g1)
-    h2_out[:] = jnp.where(keep, h2[:], g2)
-    h3_out[:] = jnp.where(keep, h3[:], g3)
+    g1 = gru(0, h1, c2)
+    g2 = gru(1, h2, g1)
+    g3 = gru(2, h3, g2)
+    h1_n = jnp.where(keep, h1, g1)
+    h2_n = jnp.where(keep, h2, g2)
+    h3_n = jnp.where(keep, h3, g3)
 
     cat = jnp.concatenate([c2, g1, g2, g3], axis=-1)
-    heads = sigmoid_approx(jnp.dot(cat, heads_w[:], precision="float32",
+    heads = sigmoid_approx(jnp.dot(cat, heads_w, precision="float32",
                                    preferred_element_type=jnp.float32)
-                           + heads_b[:])
-    gains_out[:] = heads[:, :32]
-    vad_out[:] = jnp.where(keep, 0.0, heads[:, 32:33])
+                           + heads_b)
+    vad = jnp.where(keep, 0.0, heads[:, 32:33])
+    return c1m_n, c2m_n, h1_n, h2_n, h3_n, heads[:, :32], vad
+
+
+def _kernel(feats, sil, c1m, c2m, h1, h2, h3,
+            conv1_w, conv1_b, conv2_wq, conv2_scale, conv2_b,
+            gru_in_wq, gru_in_scale, gru_in_b,
+            gru_rec_wq, gru_rec_scale, gru_rec_b, gru_diag,
+            heads_w, heads_b,
+            c1m_out, c2m_out, h1_out, h2_out, h3_out, gains_out, vad_out,
+            *, gru_size):
+    # silence freeze IN-kernel (denoise.c skips compute_rnn for silent
+    # frames): keep==1 rows write back their old state and vad 0 — saves the
+    # caller's five where-passes over the state tensors in HBM.
+    keep = sil[:] > 0.0                                 # [block, 1] bool
+    outs = _rnn_body(feats[:], keep, c1m[:], c2m[:], h1[:], h2[:], h3[:],
+                     conv1_w[:], conv1_b[:], conv2_wq[:], conv2_scale[:],
+                     conv2_b[:], gru_in_wq[:], gru_in_scale[:], gru_in_b[:],
+                     gru_rec_wq[:], gru_rec_scale[:], gru_rec_b[:],
+                     gru_diag[:], heads_w[:], heads_b[:], gru_size)
+    (c1m_out[:], c2m_out[:], h1_out[:], h2_out[:], h3_out[:],
+     gains_out[:], vad_out[:]) = outs
 
 
 def compute_rnn_pallas(packed: PackedRNN, state: RNNState, feats: jax.Array,
