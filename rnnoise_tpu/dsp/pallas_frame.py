@@ -1,0 +1,268 @@
+"""Whole-frame monokernel (round-3 flagship): one Pallas call advances a
+block of streams by one 10 ms frame, with per-stream state living in VMEM
+scratch across a sequential T grid so a whole chunk's state never touches
+HBM (mechanism pinned by tests/test_pallas.py::test_grid_carry_scratch).
+
+This module composes the already-validated value-level kernel bodies:
+
+  * biquad-as-matmul               (dsp.biquad exact precomputed kernels)
+  * decimation + LPC whitening     (dsp.pitch.pitch_downsample, reused)
+  * coarse pitch search            (_coarse_body below — direct 147-lag
+                                    correlation + banded-matmul energies)
+  * fine search + doubling ladder  (pallas_analysis._pitch_body)
+  * window extraction + fwd DFTs   (pallas_spectral machinery)
+  * band energies / features       (exact-f32 dots on the permuted layout)
+  * fused RNN + silence freeze     (pallas_rnn._rnn_body)
+  * post-filter + inverse + OLA    (pallas_spectral._post_body)
+
+``frame_body`` is pure jnp over plain arrays, so its numerics are tested
+directly against denoise.process_frame on CPU before any Mosaic involvement;
+the pallas wrappers then only add ref plumbing.
+
+Status: frame_body validated vs process_frame (test_pallas); the
+grid-carried pallas wrapper is round-3 work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (FRAME_SIZE, NB_BANDS, PITCH_BUF_SIZE, PITCH_MAX_PERIOD,
+                      SILENCE_THRESHOLD, WINDOW_SIZE)
+from .. import tables
+from . import pitch as pitch_mod
+from .biquad import _biquad_kernels
+from .pallas_analysis import _box_matrix, _pitch_body
+from .pallas_spectral import (PERM_WIDTH, _bf16_split, _dif_forward,
+                              _fwd_consts, _inv_consts, _post_consts,
+                              _take_window_vmem)
+from .pallas_xcorr import _xcorr_consts
+
+_MAXP2 = pitch_mod._MAXP2
+_N2 = pitch_mod._N2
+_NL4 = pitch_mod._MAX_PITCH // 4         # 147 coarse lags
+_LEN4 = _N2 // 2                         # 240
+_Y4_LEN = 2 * ((_N2 * 2 + pitch_mod._MAX_PITCH) // 4) // 2   # 387
+
+
+class FrameConsts(NamedTuple):
+    """Every constant array the frame body needs (all trace-time static)."""
+
+    # biquad (exact f32 kernels)
+    bq_K: np.ndarray         # [480, 480]
+    bq_rowA: np.ndarray      # [480, 2]
+    bq_SA: np.ndarray        # [2, 2]
+    bq_SB: np.ndarray        # [480, 2]
+    # coarse search
+    box387: np.ndarray       # [387, 147] bf16 banded ones (240-long sums)
+    # fine/doubling span
+    c1024: tuple             # pallas_xcorr consts
+    box864: np.ndarray       # [864, 385] bf16
+    # forward 960 DFT
+    win: np.ndarray
+    tws9: tuple
+    leaf9: tuple             # (mch, mcl, mrh, mrl)
+    # features
+    band_p: np.ndarray       # [488, 32] f32 (permuted band matrix, exact)
+    dct_t: np.ndarray        # [32, 32] f32 (DCT matrix transposed)
+    # post-filter / inverse
+    interp_hl: tuple         # (ih, il) [32, 488] bf16 pair
+    band_hl: tuple           # (bh, bl) [488, 32] bf16 pair
+    inv: tuple               # (Ah, Al, B0h, B0l, Bjh, Bjl, tws, win)
+
+
+@functools.lru_cache(maxsize=None)
+def frame_consts() -> FrameConsts:
+    from .transform import _band_matrix_for
+    K, rowA, SA, SB = _biquad_kernels(
+        tuple(np.asarray(tables.BIQUAD_HP_B, np.float64)),
+        tuple(np.asarray(tables.BIQUAD_HP_A, np.float64)), FRAME_SIZE)
+    box387 = np.zeros((_Y4_LEN, _NL4), np.float32)
+    for u in range(_NL4):
+        box387[u:u + _LEN4, u] = 1.0
+    win, tws9, leaf_c, leaf_r = _fwd_consts()
+    (ih, il), (bh, bl) = _post_consts()
+    (Ah, Al), (B0h, B0l), (Bjh, Bjl), itws, iwin = _inv_consts()
+    return FrameConsts(
+        bq_K=K.T.copy(), bq_rowA=rowA.T.copy(), bq_SA=SA.T.copy(), bq_SB=SB,
+        box387=box387.astype(np.dtype("bfloat16")),
+        c1024=_xcorr_consts(), box864=_box_matrix(),
+        win=win, tws9=tws9, leaf9=leaf_c + leaf_r,
+        band_p=np.ascontiguousarray(
+            _band_matrix_for(PERM_WIDTH).T.astype(np.float32)),
+        dct_t=np.ascontiguousarray(tables.dct_matrix().T.astype(np.float32)),
+        interp_hl=(ih, il), band_hl=(bh, bl),
+        inv=(Ah, Al, B0h, B0l, Bjh, Bjl, itws, iwin),
+    )
+
+
+def _f32dot(a, b):
+    return jnp.dot(a, b, precision="float32",
+                   preferred_element_type=jnp.float32)
+
+
+def _coarse_body(x_lp, box387, block):
+    """4x-decimated coarse search (pitch.coarse_search semantics with the
+    ratio ranking): returns (bp0, bp1) [B] int32.  The 147-lag correlation
+    runs as shifted multiply-reduces (no conv primitive in kernels); the
+    sliding energies as one banded bf16 matmul (~1e-6, ranking-tolerance
+    class)."""
+    x4 = x_lp[:, pitch_mod._X_OFF::2][:, :_LEN4]
+    y4 = x_lp[:, 0:2 * _Y4_LEN:2]
+    xc4 = jnp.concatenate(
+        [jnp.sum(x4 * y4[:, l:l + _LEN4], axis=-1, keepdims=True)
+         for l in range(_NL4)], axis=-1)                   # [B, 147]
+    y2 = y4 * y4
+    y2h = y2.astype(jnp.bfloat16)
+    y2l = (y2 - y2h.astype(jnp.float32)).astype(jnp.bfloat16)
+    box = (jnp.dot(y2h, box387, preferred_element_type=jnp.float32)
+           + jnp.dot(y2l, box387, preferred_element_type=jnp.float32))
+    syy = jnp.maximum(1.0 + box, 1.0)
+
+    num = jnp.square(xc4 * 1e-12)
+    mask = xc4 > 0
+    q = jnp.where(mask, num / syy, -jnp.inf)
+    lags = jax.lax.broadcasted_iota(jnp.int32, (block, _NL4), 1)
+    i0 = jnp.argmax(q, axis=-1).astype(jnp.int32)
+    q2 = jnp.where(lags == i0[:, None], -jnp.inf, q)
+    i1 = jnp.argmax(q2, axis=-1).astype(jnp.int32)
+    count = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    bp0 = jnp.where(count >= 1, i0, 0)
+    bp1 = jnp.where(count >= 2, i1, jnp.where(count == 1, 0, 1))
+    return bp0, bp1
+
+
+class FrameState(NamedTuple):
+    """Per-stream state in the monokernel's layout (all [B, ...], permuted
+    spectra).  Mirrors denoise.DenoiseState."""
+
+    mem_hp: jax.Array        # [B, 2]
+    pitch_buf: jax.Array     # [B, 1728]
+    analysis_mem: jax.Array  # [B, 480]
+    synthesis_mem: jax.Array  # [B, 480]
+    last_period: jax.Array   # [B, 1] int32
+    last_gain: jax.Array     # [B, 1]
+    lastg: jax.Array         # [B, 32]
+    c1m: jax.Array           # [B, 130]
+    c2m: jax.Array           # [B, 256]
+    h1: jax.Array            # [B, 384]
+    h2: jax.Array
+    h3: jax.Array
+    dX: jax.Array            # [B, 976] permuted re|im
+    dP: jax.Array            # [B, 976]
+    dEx: jax.Array           # [B, 32]
+    dEp: jax.Array
+    dExp: jax.Array
+
+
+def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
+               block: int):
+    """Advance one frame for a block of streams — the complete
+    rnnoise_process_frame (reference denoise.c:457-504) as a single pure-jnp
+    body over plain arrays.  weights: nn.pallas_rnn.PackedRNN.
+    Returns (new FrameState, out_pcm [B, 480], vad [B, 1])."""
+    c = consts
+
+    # ---- HP biquad (exact precomputed kernels, dsp/biquad.py) -------------
+    x = pcm.astype(jnp.float32)
+    y = x + _f32dot(x, jnp.asarray(c.bq_K)) \
+          + _f32dot(st.mem_hp, jnp.asarray(c.bq_rowA))
+    mem_hp = _f32dot(st.mem_hp, jnp.asarray(c.bq_SA)) \
+        + _f32dot(x, jnp.asarray(c.bq_SB))
+
+    # ---- pitch buffer shift + downsample/whiten ---------------------------
+    pitch_buf = jnp.concatenate([st.pitch_buf[:, FRAME_SIZE:], y], axis=-1)
+    ds = pitch_mod.pitch_downsample(pitch_buf)
+
+    # ---- pitch chain ------------------------------------------------------
+    bp0, bp1 = _coarse_body(ds, jnp.asarray(c.box387), block)
+    T0, gain = _pitch_body(ds, bp0, bp1, st.last_period[:, 0],
+                           st.last_gain[:, 0],
+                           tuple(jnp.asarray(a) for a in c.c1024),
+                           jnp.asarray(c.box864), block)
+
+    # ---- window extraction + both forward DFT-960s ------------------------
+    win = jnp.asarray(c.win)
+    tws9 = [(jnp.asarray(a), jnp.asarray(b)) for a, b in c.tws9]
+    leaf9 = [jnp.asarray(a) for a in c.leaf9]
+    v = jnp.concatenate([st.analysis_mem, y], axis=1) * win
+    Xp = _dif_forward(v, tws9, *leaf9)
+    start = PITCH_BUF_SIZE - WINDOW_SIZE - T0
+    p = _take_window_vmem(pitch_buf, start, block)
+    Pp = _dif_forward(p * win, tws9, *leaf9)
+
+    # ---- band energies + features (exact-f32 dots, permuted layout) -------
+    band_p = jnp.asarray(c.band_p)
+    Xre, Xim = Xp[:, :PERM_WIDTH], Xp[:, PERM_WIDTH:]
+    Pre, Pim = Pp[:, :PERM_WIDTH], Pp[:, PERM_WIDTH:]
+    Ex = _f32dot(Xre * Xre + Xim * Xim, band_p)
+    Ep = _f32dot(Pre * Pre + Pim * Pim, band_p)
+    Exp = _f32dot(Xre * Pre + Xim * Pim, band_p) / jnp.sqrt(
+        0.001 + Ex * Ep)
+
+    L = jnp.log10(1e-2 + Ex)
+    log_max = jnp.full_like(L[:, 0], -2.0)
+    follow = jnp.full_like(L[:, 0], -2.0)
+    cols = []
+    for i in range(NB_BANDS):
+        ly = jnp.maximum(log_max - 7.0, jnp.maximum(follow - 1.5, L[:, i]))
+        log_max = jnp.maximum(log_max, ly)
+        follow = jnp.maximum(follow - 1.5, ly)
+        cols.append(ly[:, None])
+    Ly = jnp.concatenate(cols, axis=-1)
+    E = jnp.sum(Ex, axis=-1)
+
+    dct_t = jnp.asarray(c.dct_t)
+    f_bfcc = _f32dot(Ly, dct_t)
+    f_bfcc = jnp.concatenate(
+        [f_bfcc[:, :1] - 12.0, f_bfcc[:, 1:2] - 4.0, f_bfcc[:, 2:]], axis=-1)
+    f_corr = _f32dot(Exp, dct_t)
+    f_pitch = 0.01 * (T0.astype(jnp.float32)[:, None] - 300.0)
+    features = jnp.concatenate([f_bfcc, f_corr, f_pitch], axis=-1)
+    silence = (E < SILENCE_THRESHOLD)[:, None]             # [B, 1]
+    features = jnp.where(silence, 0.0, features)
+
+    # ---- NN + silence freeze (pallas_rnn._rnn_body) -----------------------
+    from ..nn.pallas_rnn import _rnn_body
+    c1m, c2m, h1, h2, h3, g, vad = _rnn_body(
+        features, silence, st.c1m, st.c2m, st.h1, st.h2, st.h3,
+        *[jnp.asarray(w) for w in weights], gru_size=st.h1.shape[-1])
+
+    # ---- post-filter + inverse DFT + OLA (pallas_spectral._post_body) -----
+    from .pallas_spectral import _post_body
+    (ih, il), (bh, bl) = c.interp_hl, c.band_hl
+    Ah, Al, B0h, B0l, Bjh, Bjl, itws, iwin = c.inv
+    itws = [(jnp.asarray(a), jnp.asarray(b)) for a, b in itws]
+    out, smem, lastg = _post_body(
+        st.dX, st.dP, st.dEx, st.dEp, st.dExp, g, st.lastg, Ex, silence,
+        st.synthesis_mem,
+        jnp.asarray(ih), jnp.asarray(il), jnp.asarray(bh), jnp.asarray(bl),
+        jnp.asarray(Ah), jnp.asarray(Al), jnp.asarray(B0h),
+        jnp.asarray(B0l), jnp.asarray(Bjh), jnp.asarray(Bjl),
+        itws, jnp.asarray(iwin))
+
+    new = FrameState(
+        mem_hp=mem_hp, pitch_buf=pitch_buf, analysis_mem=y,
+        synthesis_mem=smem, last_period=T0[:, None],
+        last_gain=gain[:, None], lastg=lastg,
+        c1m=c1m, c2m=c2m, h1=h1, h2=h2, h3=h3,
+        dX=Xp, dP=Pp, dEx=Ex, dEp=Ep, dExp=Exp)
+    return new, out, vad
+
+
+def state_from_denoise(state, block: int) -> FrameState:
+    """denoise.DenoiseState (permuted widths) -> FrameState."""
+    return FrameState(
+        mem_hp=state.mem_hp, pitch_buf=state.pitch_buf,
+        analysis_mem=state.analysis_mem, synthesis_mem=state.synthesis_mem,
+        last_period=state.last_period[:, None],
+        last_gain=state.last_gain[:, None], lastg=state.lastg,
+        c1m=state.rnn.conv1_mem, c2m=state.rnn.conv2_mem,
+        h1=state.rnn.gru1, h2=state.rnn.gru2, h3=state.rnn.gru3,
+        dX=state.delayed_X, dP=state.delayed_P,
+        dEx=state.delayed_Ex, dEp=state.delayed_Ep, dExp=state.delayed_Exp)

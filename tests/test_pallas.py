@@ -291,3 +291,60 @@ def test_grid_carry_scratch_mechanism():
         ref = ref * 0.5 + np.asarray(inp[t])
         refs.append(ref.copy())
     np.testing.assert_array_equal(np.asarray(out), np.stack(refs))
+
+
+def test_frame_body_matches_process_frame(model_params, rng):
+    """The whole-frame monokernel body (pure jnp) vs denoise.process_frame,
+    chained statefully over 16 frames of speech-like input: pitch periods
+    exact, PCM/vad within the factored-DFT tolerance class."""
+    import jax.numpy as jnp
+    from rnnoise_tpu.config import FRAME_SIZE, RuntimeConfig
+    from rnnoise_tpu.denoise import init_state, process_frame
+    from rnnoise_tpu.dsp import pallas_frame as pf
+    from rnnoise_tpu.dsp import pallas_spectral as ps
+    from rnnoise_tpu.nn.pallas_rnn import pack_params
+    from tests.conftest import speechlike
+
+    S, T = 4, 16
+    sig = np.stack([
+        speechlike(rng, T * FRAME_SIZE, f0=f0, noise=nz) * amp
+        for f0, nz, amp in [(130, .1, 1.0), (80, .3, 2.0),
+                            (210, .05, 0.5), (100, .5, 0.8)]])
+    pcm = jnp.asarray(sig.reshape(S, T, FRAME_SIZE), jnp.float32)
+    rt = RuntimeConfig(quantized=True)
+
+    sa = init_state(S)
+    outs_a, vads_a, periods = [], [], []
+    for t in range(T):
+        sa, o, v = process_frame(model_params, sa, pcm[:, t], rt)
+        outs_a.append(np.asarray(o))
+        vads_a.append(np.asarray(v))
+        periods.append(np.asarray(sa.last_period))
+
+    consts = pf.frame_consts()
+    weights = pack_params(model_params)
+    # start from zeros in the monokernel layout (permuted spectra widths)
+    sb = pf.FrameState(
+        mem_hp=jnp.zeros((S, 2)), pitch_buf=jnp.zeros((S, 1728)),
+        analysis_mem=jnp.zeros((S, 480)), synthesis_mem=jnp.zeros((S, 480)),
+        last_period=jnp.zeros((S, 1), jnp.int32),
+        last_gain=jnp.zeros((S, 1)), lastg=jnp.zeros((S, 32)),
+        c1m=jnp.zeros((S, 130)), c2m=jnp.zeros((S, 256)),
+        h1=jnp.zeros((S, 384)), h2=jnp.zeros((S, 384)),
+        h3=jnp.zeros((S, 384)),
+        dX=jnp.zeros((S, 2 * ps.PERM_WIDTH)),
+        dP=jnp.zeros((S, 2 * ps.PERM_WIDTH)),
+        dEx=jnp.zeros((S, 32)), dEp=jnp.zeros((S, 32)),
+        dExp=jnp.zeros((S, 32)))
+    max_pcm = max_vad = 0.0
+    n_period_mismatch = 0
+    for t in range(T):
+        sb, o, v = pf.frame_body(sb, pcm[:, t], weights, consts, S)
+        max_pcm = max(max_pcm, float(np.abs(np.asarray(o) - outs_a[t]).max()))
+        max_vad = max(max_vad,
+                      float(np.abs(np.asarray(v)[:, 0] - vads_a[t]).max()))
+        n_period_mismatch += int(
+            (np.asarray(sb.last_period)[:, 0] != periods[t]).sum())
+    assert n_period_mismatch == 0, n_period_mismatch
+    assert max_pcm < 2.0, max_pcm
+    assert max_vad < 2e-3, max_vad
