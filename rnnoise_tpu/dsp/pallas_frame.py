@@ -266,3 +266,129 @@ def state_from_denoise(state, block: int) -> FrameState:
         h1=state.rnn.gru1, h2=state.rnn.gru2, h3=state.rnn.gru3,
         dX=state.delayed_X, dP=state.delayed_P,
         dEx=state.delayed_Ex, dEp=state.delayed_Ep, dExp=state.delayed_Exp)
+
+
+# ---------------------------------------------------------------------------
+# the T-grid monokernel: state carried in VMEM scratch across frames
+# ---------------------------------------------------------------------------
+
+_STATE_FIELDS = len(FrameState._fields)          # 17
+
+
+def _state_widths():
+    return dict(mem_hp=2, pitch_buf=PITCH_BUF_SIZE, analysis_mem=FRAME_SIZE,
+                synthesis_mem=FRAME_SIZE, last_period=1, last_gain=1,
+                lastg=32, c1m=130, c2m=256, h1=384, h2=384, h3=384,
+                dX=2 * PERM_WIDTH, dP=2 * PERM_WIDTH, dEx=32, dEp=32,
+                dExp=32)
+
+
+def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block):
+    """Grid (S_blocks, T), T sequential.  refs layout:
+    [17 state-in] [pcm] [n_w weights] [n_c consts]
+    [17 state-out] [out] [vad] [17 scratch]."""
+    state_in = refs[:_STATE_FIELDS]
+    pcm_ref = refs[_STATE_FIELDS]
+    w_refs = refs[_STATE_FIELDS + 1:_STATE_FIELDS + 1 + n_w]
+    c_refs = refs[_STATE_FIELDS + 1 + n_w:_STATE_FIELDS + 1 + n_w + n_c]
+    k = _STATE_FIELDS + 1 + n_w + n_c
+    state_out = refs[k:k + _STATE_FIELDS]
+    out_ref = refs[k + _STATE_FIELDS]
+    vad_ref = refs[k + _STATE_FIELDS + 1]
+    scratch = refs[k + _STATE_FIELDS + 2:]
+
+    from jax.experimental import pallas as pl
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        for s, r in zip(scratch, state_in):
+            s[:] = r[:]
+
+    st = FrameState(*[s[:] for s in scratch])
+    consts = jax.tree.unflatten(treedef, [r[:] for r in c_refs])
+    weights = tuple(r[:] for r in w_refs)
+    new, out, vad = frame_body(st, pcm_ref[0], weights, consts, block)
+    for s, v in zip(scratch, new):
+        s[:] = v
+    out_ref[0] = out
+    vad_ref[0] = vad
+
+    @pl.when(t == n_t - 1)
+    def _():
+        for r, s in zip(state_out, scratch):
+            r[:] = s[:]
+
+
+def process_chunk_monokernel(state, pcm_tm, packed_weights,
+                             block: int = 64, interpret: bool = False):
+    """The whole-chunk monokernel: denoise state (permuted widths) + pcm
+    [T, S, 480] f32 -> (new state, out [T, S, 480], vad [T, S]).
+
+    Per-stream state lives in VMEM scratch for the whole chunk — HBM sees
+    only pcm in, pcm out, and one state read/write per chunk.  ``state`` is
+    a denoise.DenoiseState with fused (permuted) spectrum widths."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..denoise import DenoiseState
+    from ..models.rnn import RNNState
+
+    T, S, _ = pcm_tm.shape
+    fs = state_from_denoise(state, S)
+    leaves, treedef = jax.tree.flatten(frame_consts())
+    weights = tuple(packed_weights)
+    widths = _state_widths()
+    wlist = [widths[f] for f in FrameState._fields]
+
+    assert S % block == 0, (S, block)
+    grid = (S // block, T)
+
+    def state_spec(w):
+        return pl.BlockSpec((block, w), lambda i, t: (i, 0))
+
+    def seq_spec(w):
+        return pl.BlockSpec((1, block, w), lambda i, t: (t, i, 0))
+
+    def const_spec(a):
+        a = np.asarray(a)
+        return pl.BlockSpec(a.shape, lambda i, t: (0,) * a.ndim)
+
+    in_specs = ([state_spec(w) for w in wlist]
+                + [seq_spec(FRAME_SIZE)]
+                + [const_spec(w) for w in weights]
+                + [const_spec(a) for a in leaves])
+    out_specs = ([state_spec(w) for w in wlist]
+                 + [seq_spec(FRAME_SIZE), seq_spec(1)])
+    out_shape = ([jax.ShapeDtypeStruct((S, w), a.dtype)
+                  for w, a in zip(wlist, fs)]
+                 + [jax.ShapeDtypeStruct((T, S, FRAME_SIZE), jnp.float32),
+                    jax.ShapeDtypeStruct((T, S, 1), jnp.float32)])
+    scratch = [pltpu.VMEM((block, w), a.dtype) for w, a in zip(wlist, fs)]
+
+    outs = pl.pallas_call(
+        functools.partial(_frame_kernel, treedef=treedef,
+                          n_w=len(weights), n_c=len(leaves), n_t=T,
+                          block=block),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*fs, pcm_tm, *[jnp.asarray(w) for w in weights],
+      *[jnp.asarray(a) for a in leaves])
+
+    new_fs = FrameState(*outs[:_STATE_FIELDS])
+    out = outs[_STATE_FIELDS]
+    vad = outs[_STATE_FIELDS + 1][..., 0]
+    new_state = state._replace(
+        mem_hp=new_fs.mem_hp, pitch_buf=new_fs.pitch_buf,
+        analysis_mem=new_fs.analysis_mem,
+        synthesis_mem=new_fs.synthesis_mem,
+        last_period=new_fs.last_period[:, 0],
+        last_gain=new_fs.last_gain[:, 0], lastg=new_fs.lastg,
+        rnn=RNNState(new_fs.c1m, new_fs.c2m, new_fs.h1, new_fs.h2,
+                     new_fs.h3),
+        delayed_X=new_fs.dX, delayed_P=new_fs.dP,
+        delayed_Ex=new_fs.dEx, delayed_Ep=new_fs.dEp, delayed_Exp=new_fs.dExp)
+    return new_state, out, vad
