@@ -81,11 +81,16 @@ int rnnoise_get_frame_size(void) { return RNNOISE_FRAME_SIZE; }
 // Python object; the handle size is what a caller placement-allocates.
 int rnnoise_get_size(void) { return (int)sizeof(DenoiseState); }
 
+// Like the reference (denoise.c:285, which memsets the caller's buffer),
+// rnnoise_init treats *st as possibly-uninitialized memory — callers using
+// rnnoise_get_size + their own allocation need not zero it first.  The cost
+// of matching that contract: re-initialising a LIVE state leaks its old
+// Python object (we cannot distinguish a stale pointer from garbage).  Use
+// rnnoise_destroy + rnnoise_create to re-init without the leak.
 int rnnoise_init(DenoiseState *st, RNNModel *model) {
   init_python();
   if (!g_glue) return -1;
   PyGILState_STATE gil = PyGILState_Ensure();
-  Py_XDECREF(st->denoiser);
   st->denoiser = PyObject_CallMethod(
       g_glue, "create", "O", model ? model->blob : Py_None);
   if (!st->denoiser) PyErr_Print();

@@ -105,16 +105,22 @@ struct Ring {
 };
 
 // Minimal persistent thread pool: parallel_for over slot ranges.
+//
+// Concurrency design: chunk tickets live in a single 64-bit atomic whose
+// upper 32 bits carry the dispatch generation — a worker claims a chunk with
+// a CAS that fails unless the ticket still belongs to the generation it
+// snapshotted under the mutex, so a stale worker (woken late, or preempted
+// mid-loop across a dispatch boundary) can never consume a chunk of — or
+// decrement the completion count of — a newer dispatch.
 struct Pool {
   std::vector<std::thread> workers;
   std::mutex m;
   std::condition_variable cv, done_cv;
-  std::function<void(int, int)> job;  // [begin, end)
-  int n_chunks = 0;
-  std::atomic<int> next{0};
+  std::function<void(int, int)> job;  // [begin, end); set under m
+  int n_chunks = 0, chunk = 0, total = 0;  // set under m
+  uint64_t generation = 0;                 // set under m
+  std::atomic<uint64_t> ticket{0};         // (generation << 32) | next_chunk
   std::atomic<int> remaining{0};
-  int chunk = 0, total = 0;
-  uint64_t generation = 0;
   bool stop = false;
 
   explicit Pool(int n_threads) {
@@ -130,49 +136,68 @@ struct Pool {
     cv.notify_all();
     for (auto& w : workers) w.join();
   }
+  // Claim and run chunks of generation `gen`; parameters are the caller's
+  // under-mutex snapshot of that generation's dispatch.
+  void run_chunks(uint64_t gen, const std::function<void(int, int)>& f,
+                  int my_chunks, int my_chunk, int my_total) {
+    for (;;) {
+      uint64_t t = ticket.load(std::memory_order_acquire);
+      if ((t >> 32) != gen) break;               // newer dispatch exists
+      int c = (int)(t & 0xffffffffu);
+      if (c >= my_chunks) break;                 // this dispatch exhausted
+      if (!ticket.compare_exchange_weak(t, t + 1,
+                                        std::memory_order_acq_rel)) {
+        continue;
+      }
+      int b = c * my_chunk;
+      int e = b + my_chunk < my_total ? b + my_chunk : my_total;
+      f(b, e);
+      if (remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lk(m);  // pair with done_cv predicate
+        done_cv.notify_one();
+      }
+    }
+  }
   void worker() {
     uint64_t seen = 0;
     for (;;) {
+      std::function<void(int, int)> f;
+      uint64_t gen;
+      int my_chunks, my_chunk, my_total;
       {
         std::unique_lock<std::mutex> lk(m);
         cv.wait(lk, [&] { return stop || generation != seen; });
         if (stop) return;
-        seen = generation;
+        gen = seen = generation;
+        f = job;
+        my_chunks = n_chunks;
+        my_chunk = chunk;
+        my_total = total;
       }
-      for (;;) {
-        int c = next.fetch_add(1);
-        if (c >= n_chunks) break;
-        int b = c * chunk;
-        int e = b + chunk < total ? b + chunk : total;
-        job(b, e);
-        if (remaining.fetch_sub(1) == 1) done_cv.notify_one();
-      }
+      run_chunks(gen, f, my_chunks, my_chunk, my_total);
     }
   }
   void parallel_for(int n, std::function<void(int, int)> f) {
     if (n <= 0) return;
-    int nthreads = (int)workers.size() + 1;
-    chunk = (n + 4 * nthreads - 1) / (4 * nthreads);
-    if (chunk < 1) chunk = 1;
-    n_chunks = (n + chunk - 1) / chunk;
-    total = n;
-    job = std::move(f);
-    next.store(0);
-    remaining.store(n_chunks);
+    uint64_t gen;
+    int my_chunks, my_chunk;
+    std::function<void(int, int)> myjob = std::move(f);
     {
       std::lock_guard<std::mutex> lk(m);
-      generation++;
+      int nthreads = (int)workers.size() + 1;
+      chunk = (n + 4 * nthreads - 1) / (4 * nthreads);
+      if (chunk < 1) chunk = 1;
+      n_chunks = (n + chunk - 1) / chunk;
+      total = n;
+      job = myjob;
+      gen = ++generation;
+      remaining.store(n_chunks);
+      ticket.store(gen << 32, std::memory_order_release);
+      my_chunks = n_chunks;
+      my_chunk = chunk;
     }
     cv.notify_all();
-    // participate
-    for (;;) {
-      int c = next.fetch_add(1);
-      if (c >= n_chunks) break;
-      int b = c * chunk;
-      int e = b + chunk < total ? b + chunk : total;
-      job(b, e);
-      if (remaining.fetch_sub(1) == 1) done_cv.notify_one();
-    }
+    run_chunks(gen, myjob, my_chunks, my_chunk, n);  // participate
     std::unique_lock<std::mutex> lk(m);
     done_cv.wait(lk, [&] { return remaining.load() == 0; });
   }
@@ -212,6 +237,7 @@ StreamPool* rnnt_pool_create(int n_slots, int ring_frames) {
 }
 
 void rnnt_pool_destroy(StreamPool* p) {
+  if (!p) return;
   delete p->threads;
   delete p;
 }

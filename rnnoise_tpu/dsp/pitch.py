@@ -114,7 +114,10 @@ def find_best_pitch_exact(xcorr: jax.Array, y: jax.Array, length: int):
         num = jnp.square(xc * 1e-12)
         ok = xc > 0
         beats1 = ok & (num * den1 > num1 * syy)
-        beats0 = ok & (num * den0 > num0 * syy)
+        # the slot-0 comparison only happens inside the slot-1 branch in the
+        # reference (pitch.c:83-97) — gate it on beats1 so a float near-tie
+        # where beats0 holds without beats1 updates nothing, like the C code
+        beats0 = beats1 & (num * den0 > num0 * syy)
         # demote best0 when beaten, else replace best1 when only it is beaten
         num1n = jnp.where(beats0, num0, jnp.where(beats1, num, num1))
         den1n = jnp.where(beats0, den0, jnp.where(beats1, syy, den1))

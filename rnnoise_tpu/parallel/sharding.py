@@ -71,12 +71,10 @@ def make_sharded_processor(params: ModelParams, mesh: Mesh,
     *local* [S/n, ...] view — which is required for the Pallas kernels in
     the pipeline (custom calls have no automatic SPMD partitioning rule) and
     costs nothing for the rest."""
-    from jax.experimental.shard_map import shard_map
-
     spec = P(STREAM_AXIS)
 
     @jax.jit
-    @functools.partial(shard_map, mesh=mesh,
+    @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(spec, spec),
                        out_specs=(spec, spec, spec))
     def run(state, pcm):
