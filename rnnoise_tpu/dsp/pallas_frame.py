@@ -58,6 +58,10 @@ class FrameConsts(NamedTuple):
     bq_rowA: np.ndarray      # [480, 2]
     bq_SA: np.ndarray        # [2, 2]
     bq_SB: np.ndarray        # [480, 2]
+    # decimation (Mosaic has no strided lane slice: even-sample extraction is
+    # a single-1-per-column f32 selection matmul — exact, every output is one
+    # unrounded product x*1.0)
+    sel_even: np.ndarray     # [864, 432] f32
     # coarse search
     box387: np.ndarray       # [387, 147] bf16 banded ones (240-long sums)
     # fine/doubling span
@@ -85,11 +89,15 @@ def frame_consts() -> FrameConsts:
     box387 = np.zeros((_Y4_LEN, _NL4), np.float32)
     for u in range(_NL4):
         box387[u:u + _LEN4, u] = 1.0
+    half = pitch_mod._DS_LEN                     # 864
+    sel_even = np.zeros((half, half // 2), np.float32)
+    sel_even[np.arange(0, half, 2), np.arange(half // 2)] = 1.0
     win, tws9, leaf_c, leaf_r = _fwd_consts()
     (ih, il), (bh, bl) = _post_consts()
     (Ah, Al), (B0h, B0l), (Bjh, Bjl), itws, iwin = _inv_consts()
     return FrameConsts(
         bq_K=K.T.copy(), bq_rowA=rowA.T.copy(), bq_SA=SA.T.copy(), bq_SB=SB,
+        sel_even=sel_even,
         box387=box387.astype(np.dtype("bfloat16")),
         c1024=_xcorr_consts(), box864=_box_matrix(),
         win=win, tws9=tws9, leaf9=leaf_c + leaf_r,
@@ -106,14 +114,64 @@ def _f32dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
-def _coarse_body(x_lp, box387, block):
+def _downsample_body(pitch_buf, sel_even):
+    """pitch_downsample (reference rnn_pitch_downsample, pitch.c:146-214)
+    restated without strided lane slices or scatters, both of which Mosaic
+    rejects: full-rate smoothing keeps pitch.pitch_downsample's exact f32 op
+    order, even-sample extraction happens through ``sel_even`` (one matmul
+    per 864-lane half; exact — see FrameConsts), and the i=0 boundary sample
+    is blended in with an iota mask instead of ``.at[...].set``.  Returns the
+    whitened [B, 864] buffer, value-identical to pitch_mod.pitch_downsample
+    up to reduction order in the autocorrelation."""
+    x = pitch_buf
+    S = x.shape[0]
+    zero1 = jnp.zeros((S, 1), x.dtype)
+    xl = jnp.concatenate([zero1, x[:, :-1]], axis=-1)
+    xr = jnp.concatenate([x[:, 1:], zero1], axis=-1)
+    sm = 0.25 * (xl + xr) + 0.5 * x
+    half = pitch_mod._DS_LEN                       # 864
+    e0 = _f32dot(sm[:, :half], sel_even)
+    e1 = _f32dot(sm[:, half:], sel_even)
+    x_lp = jnp.concatenate([e0, e1], axis=-1)      # [S, 864]
+    iota = jax.lax.broadcasted_iota(jnp.int32, x_lp.shape, 1)
+    x_lp = jnp.where(iota == 0, 0.25 * x[:, 1:2] + 0.5 * x[:, 0:1], x_lp)
+
+    # order-4 autocorr + lag window (rnn_autocorr, celt_lpc.c:92-174)
+    n = half
+    ac = [jnp.sum(x_lp[:, : n - k] * x_lp[:, k:], axis=-1, keepdims=True)
+          for k in range(5)]
+    ac[0] = ac[0] * 1.0001
+    for i in range(1, 5):
+        ac[i] = ac[i] - ac[i] * (0.008 * i) ** 2
+    lpc = pitch_mod._levinson4(ac)
+    tmp = 1.0
+    for i in range(4):
+        tmp *= 0.9
+        lpc[i] = lpc[i] * tmp
+    c1 = 0.8
+    num = [lpc[0] + c1, lpc[1] + c1 * lpc[0], lpc[2] + c1 * lpc[1],
+           lpc[3] + c1 * lpc[2], c1 * lpc[3]]
+    # celt_fir5 (pitch.c:104-143)
+    y = x_lp
+    for k in range(5):
+        shifted = jnp.concatenate(
+            [jnp.zeros((S, k + 1), x_lp.dtype), x_lp[:, : n - k - 1]],
+            axis=-1)
+        y = y + num[k] * shifted
+    return y
+
+
+def _coarse_body(x_lp, sel_even, box387, block):
     """4x-decimated coarse search (pitch.coarse_search semantics with the
-    ratio ranking): returns (bp0, bp1) [B] int32.  The 147-lag correlation
-    runs as shifted multiply-reduces (no conv primitive in kernels); the
-    sliding energies as one banded bf16 matmul (~1e-6, ranking-tolerance
-    class)."""
-    x4 = x_lp[:, pitch_mod._X_OFF::2][:, :_LEN4]
-    y4 = x_lp[:, 0:2 * _Y4_LEN:2]
+    ratio ranking): returns (bp0, bp1) [B] int32.  The 4x signals come from
+    one exact selection matmul (e = even(x_lp); x4/y4 are contiguous slices
+    of e, value-identical to the strided-slice formulation); the 147-lag
+    correlation runs as shifted multiply-reduces (no conv primitive in
+    kernels); the sliding energies as one banded bf16 matmul (~1e-6,
+    ranking-tolerance class)."""
+    e = _f32dot(x_lp, sel_even)                    # [B, 432] even samples
+    x4 = e[:, pitch_mod._X_OFF // 2:pitch_mod._X_OFF // 2 + _LEN4]
+    y4 = e[:, :_Y4_LEN]
     xc4 = jnp.concatenate(
         [jnp.sum(x4 * y4[:, l:l + _LEN4], axis=-1, keepdims=True)
          for l in range(_NL4)], axis=-1)                   # [B, 147]
@@ -177,10 +235,11 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
 
     # ---- pitch buffer shift + downsample/whiten ---------------------------
     pitch_buf = jnp.concatenate([st.pitch_buf[:, FRAME_SIZE:], y], axis=-1)
-    ds = pitch_mod.pitch_downsample(pitch_buf)
+    sel_even = jnp.asarray(c.sel_even)
+    ds = _downsample_body(pitch_buf, sel_even)
 
     # ---- pitch chain ------------------------------------------------------
-    bp0, bp1 = _coarse_body(ds, jnp.asarray(c.box387), block)
+    bp0, bp1 = _coarse_body(ds, sel_even, jnp.asarray(c.box387), block)
     T0, gain = _pitch_body(ds, bp0, bp1, st.last_period[:, 0],
                            st.last_gain[:, 0],
                            tuple(jnp.asarray(a) for a in c.c1024),
