@@ -1,0 +1,85 @@
+"""Whole-frame monokernel (dsp/pallas_frame) held to the mainline parity bar:
+150 stateful frames vs the compiled C oracle, same budgets as
+test_process_frame_parity (PCM <4 LSB, VAD <2e-3), with the silent and
+noise-only stretches of _make_signal exercising the silence freeze across
+the VMEM scratch carry.  Runs the pallas wrapper in interpret mode on CPU;
+the on-chip A/B lives in scripts/tpu_fast_parity.py (same budgets)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rnnoise_tpu.config import FRAME_SIZE
+from rnnoise_tpu.denoise import init_state
+from rnnoise_tpu.dsp import pallas_frame as pf
+from rnnoise_tpu.dsp import pallas_spectral as ps
+from rnnoise_tpu.nn.pallas_rnn import pack_params
+
+from tests.test_e2e_parity import _make_signal
+
+
+def _permuted_state(n):
+    return init_state(n)._replace(
+        delayed_X=jnp.zeros((n, 2 * ps.PERM_WIDTH)),
+        delayed_P=jnp.zeros((n, 2 * ps.PERM_WIDTH)))
+
+
+def test_monokernel_oracle_parity_150_frames(oracle_int8, model_params, rng):
+    """The T-grid monokernel (grid-carried VMEM state, interpret mode) stays
+    within the mainline oracle budget over 150 stateful frames dispatched as
+    three 50-frame chunks — the chunk boundaries also pin the HBM state
+    round trip between pallas calls.  Reference hot loop:
+    denoise.c:457-504 (rnnoise_process_frame)."""
+    n_frames = 150
+    chunk = 50
+    sig = _make_signal(rng, n_frames)
+
+    st_c = oracle_int8.create_state()
+    out_c = []
+    vad_c = []
+    for f in range(n_frames):
+        o, v = st_c.process_frame(sig[f * FRAME_SIZE:(f + 1) * FRAME_SIZE])
+        out_c.append(o)
+        vad_c.append(v)
+    out_c = np.stack(out_c)
+    vad_c = np.array(vad_c)
+
+    weights = pack_params(model_params)
+    state = _permuted_state(1)
+    outs, vads = [], []
+    for i in range(0, n_frames, chunk):
+        pcm_tm = jnp.asarray(
+            sig[i * FRAME_SIZE:(i + chunk) * FRAME_SIZE]
+            .reshape(chunk, 1, FRAME_SIZE))
+        state, o, v = pf.process_chunk_monokernel(
+            state, pcm_tm, weights, block=1, interpret=True)
+        outs.append(np.asarray(o)[:, 0])
+        vads.append(np.asarray(v)[:, 0])
+    out_j = np.concatenate(outs)
+    vad_j = np.concatenate(vads)
+
+    max_pcm = np.abs(out_j - out_c).max()
+    max_vad = np.abs(vad_j - vad_c).max()
+    assert max_pcm < 4.0, f"PCM diverged: {max_pcm} LSB"
+    assert max_vad < 2e-3, f"VAD diverged: {max_vad}"
+
+
+def test_monokernel_multi_block_grid(model_params, rng):
+    """Multiple stream blocks (grid dim 0) don't cross-talk: S=4 with
+    block=2 == two independent S=2/block=2 runs, bitwise (the same body
+    runs in both; only the grid partitioning differs)."""
+    T, S = 8, 4
+    sigs = np.stack([_make_signal(np.random.default_rng(100 + i), T)
+                     for i in range(S)])
+    pcm_tm = jnp.asarray(sigs.reshape(S, T, FRAME_SIZE).transpose(1, 0, 2))
+    weights = pack_params(model_params)
+
+    st_all, out_all, vad_all = pf.process_chunk_monokernel(
+        _permuted_state(S), pcm_tm, weights, block=2, interpret=True)
+    for lo in (0, 2):
+        st_h, out_h, vad_h = pf.process_chunk_monokernel(
+            _permuted_state(2), pcm_tm[:, lo:lo + 2], weights, block=2,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_all)[:, lo:lo + 2],
+                                      np.asarray(out_h))
+        np.testing.assert_array_equal(np.asarray(vad_all)[:, lo:lo + 2],
+                                      np.asarray(vad_h))
