@@ -94,6 +94,12 @@ def _take_row(table, idx):
     return jnp.sum(jnp.where(iota == idx[:, None], table, 0.0), axis=1)
 
 
+# Perf-ablation switches (cost attribution, profiling scripts only):
+# "finetable" fakes the DFT-1024 correlation table, "ladder" skips the
+# remove_doubling ladder.  Production always runs with the empty set.
+_ABLATE: frozenset = frozenset()
+
+
 def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
                 c1024, box_w, block):
     """Value-level fine-pitch span: ds [B, 864] whitened, coarse candidates
@@ -106,18 +112,22 @@ def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
      mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl) = c1024
 
     # ---- fine lag table bx[u], lag = u (bx[u] = corr at lag u) ------------
-    z_x = jnp.zeros((block, _N - (_DS_LEN - _X_OFF)), f32)
-    z_y = jnp.zeros((block, _N - _DS_LEN), f32)
-    xsig = jnp.concatenate([ds[:, _X_OFF:], z_x], axis=1)
-    ysig = jnp.concatenate([ds, z_y], axis=1)
-    ftws = [(ftc0, fts0), (ftc1, fts1), (ftc2, fts2)]
-    itws = [(itc0, its0), (itc1, its1), (itc2, its2)]
-    xr, xi = _dif_forward_1024(xsig, ftws, mch, mcl, mrh, mrl)
-    yr, yi = _dif_forward_1024(ysig, ftws, mch, mcl, mrh, mrl)
-    cr = xr * yr + xi * yi
-    ci = xr * yi - xi * yr
-    corr = _dif_inverse_1024(cr, ci, Ah, Al, B0h, B0l, Bjh, Bjl, itws)
-    bx = corr[:, :_NLAGS]                       # [B, 385]; bx[u] = lag u
+    if "finetable" in _ABLATE:
+        bx = jnp.concatenate(
+            [ds[:, :_NLAGS - 1] * 1e-3, ds[:, :1]], axis=1)
+    else:
+        z_x = jnp.zeros((block, _N - (_DS_LEN - _X_OFF)), f32)
+        z_y = jnp.zeros((block, _N - _DS_LEN), f32)
+        xsig = jnp.concatenate([ds[:, _X_OFF:], z_x], axis=1)
+        ysig = jnp.concatenate([ds, z_y], axis=1)
+        ftws = [(ftc0, fts0), (ftc1, fts1), (ftc2, fts2)]
+        itws = [(itc0, its0), (itc1, its1), (itc2, its2)]
+        xr, xi = _dif_forward_1024(xsig, ftws, mch, mcl, mrh, mrl)
+        yr, yi = _dif_forward_1024(ysig, ftws, mch, mcl, mrh, mrl)
+        cr = xr * yr + xi * yi
+        ci = xr * yi - xi * yr
+        corr = _dif_inverse_1024(cr, ci, Ah, Al, B0h, B0l, Bjh, Bjl, itws)
+        bx = corr[:, :_NLAGS]                   # [B, 385]; bx[u] = lag u
 
     # ---- sliding 480-tap energies: one banded matmul ----------------------
     d2 = ds * ds
@@ -160,29 +170,40 @@ def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
     T0 = jnp.minimum(pitch_index // 2, _MAXP2 - 1).astype(jnp.int32)
     prev_period = (prev_period_48k // 2).astype(jnp.int32)
 
+    # One boolean mask serves each table lookup pair: a two-hot row selects
+    # both ladder lags at once, and the SAME mask reduces bx and yy (the
+    # reference reads corr and energy at identical lags).  0.5*sum(two-hot *
+    # t) == 0.5*(t[i1]+t[i2]) exactly (adding selected f32 values in either
+    # grouping scales by an exact power of two; a==b collapses to t[a]).
+    # This halves the masked-reduce count of the ladder from ~60 to ~30 —
+    # the reduces dominate the monokernel's fine-pitch cost at block 128.
+    lag_iota = jax.lax.broadcasted_iota(jnp.int32, bx.shape, 1)
+
+    def lag_pair(t1, t2):
+        m = ((lag_iota == (_MAXP2 - t1)[:, None]).astype(f32)
+             + (lag_iota == (_MAXP2 - t2)[:, None]).astype(f32))
+        return (0.5 * jnp.sum(m * bx, axis=-1),
+                0.5 * jnp.sum(m * yy_rev_fwd, axis=-1))
+
     def lag_corr(t):
         return _take_row(bx, _MAXP2 - t)
 
-    def lag_energy(t):
-        return _take_row(yy_rev_fwd, _MAXP2 - t)
-
     xx = bx[:, _MAXP2]                          # lag 0 = index 384
-    xy = lag_corr(T0)
-    yy = lag_energy(T0)
+    xy, yy = lag_pair(T0, T0)
     g0 = xy / jnp.sqrt(1.0 + xx * yy)
     g = g0
     best_xy, best_yy, T = xy, yy, T0
 
     active = jnp.ones((block,), bool)
-    for k in range(2, 16):
+    ks = () if "ladder" in _ABLATE else range(2, 16)
+    for k in ks:
         T1 = (2 * T0 + k) // (2 * k)
         sck = _SECOND_CHECK[k]
         T1b = (2 * sck * T0 + k) // (2 * k)
         if k == 2:
             T1b = jnp.where(T1 + T0 > _MAXP2, T0, T0 + T1)
         active = active & (T1 >= _MINP2)
-        xy_k = 0.5 * (lag_corr(T1) + lag_corr(T1b))
-        yy_k = 0.5 * (lag_energy(T1) + lag_energy(T1b))
+        xy_k, yy_k = lag_pair(T1, T1b)
         g1 = xy_k / jnp.sqrt(1.0 + xx * yy_k)
         d = jnp.abs(T1 - prev_period)
         cont = jnp.where(d <= 1, prev_gain,

@@ -64,6 +64,7 @@ class FrameConsts(NamedTuple):
     sel_even: np.ndarray     # [864, 432] f32
     # coarse search
     box387: np.ndarray       # [387, 147] bf16 banded ones (240-long sums)
+    c512: tuple              # factored DFT-512 consts (coarse correlation)
     # fine/doubling span
     c1024: tuple             # pallas_xcorr consts
     box864: np.ndarray       # [864, 385] bf16
@@ -99,6 +100,7 @@ def frame_consts() -> FrameConsts:
         bq_K=K.T.copy(), bq_rowA=rowA.T.copy(), bq_SA=SA.T.copy(), bq_SB=SB,
         sel_even=sel_even,
         box387=box387.astype(np.dtype("bfloat16")),
+        c512=_coarse512_consts(),
         c1024=_xcorr_consts(), box864=_box_matrix(),
         win=win, tws9=tws9, leaf9=leaf_c + leaf_r,
         band_p=np.ascontiguousarray(
@@ -112,6 +114,13 @@ def frame_consts() -> FrameConsts:
 def _f32dot(a, b):
     return jnp.dot(a, b, precision="float32",
                    preferred_element_type=jnp.float32)
+
+
+# Perf-ablation switches (cost attribution inside the monokernel, used by
+# the profiling scripts only — production always runs with the empty set):
+# members of {"biquad", "features"} skip that stage with shape-compatible
+# stand-ins.
+_ABLATE: frozenset = frozenset()
 
 
 def _downsample_body(pitch_buf, sel_even):
@@ -161,20 +170,54 @@ def _downsample_body(pitch_buf, sel_even):
     return y
 
 
-def _coarse_body(x_lp, sel_even, box387, block):
+@functools.lru_cache(maxsize=None)
+def _coarse512_consts():
+    """Factored DFT-512 constants (8 leaves of 64) for the coarse
+    correlation — same machinery as pallas_xcorr's 1024, smaller leaf."""
+    from .pallas_spectral import (_fwd_leaf_matrices, _inv_leaf_matrices,
+                                  _twiddle)
+    n, leaf, tg = 512, 64, 33
+    fwd_tws = [_twiddle(L) for L in (512, 256, 128)]
+    inv_tws = [(c, -s) for (c, s) in (_twiddle(L) for L in (128, 256, 512))]
+    (mch, mcl), (mrh, mrl) = _fwd_leaf_matrices(leaf, tg, 1.0)
+    (Ah, Al), (B0h, B0l), (Bjh, Bjl) = _inv_leaf_matrices(leaf, tg, 1.0 / n)
+    flat = []
+    for c, s in fwd_tws + inv_tws:
+        flat += [c, s]
+    flat += [mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl]
+    return tuple(flat)
+
+
+def _coarse_body(x_lp, sel_even, box387, c512, block):
     """4x-decimated coarse search (pitch.coarse_search semantics with the
     ratio ranking): returns (bp0, bp1) [B] int32.  The 4x signals come from
     one exact selection matmul (e = even(x_lp); x4/y4 are contiguous slices
     of e, value-identical to the strided-slice formulation); the 147-lag
-    correlation runs as shifted multiply-reduces (no conv primitive in
-    kernels); the sliding energies as one banded bf16 matmul (~1e-6,
-    ranking-tolerance class)."""
+    correlation via the correlation theorem over a factored DFT-512 (exact
+    to ~1e-6 like the fine table's DFT-1024 — the direct 147-term
+    multiply-reduce formulation measured 0.9 ms/frame of VPU time at
+    S=3072, dominating the whole monokernel); the sliding energies as one
+    banded bf16 matmul (~1e-6, ranking-tolerance class)."""
+    from .pallas_xcorr import _dif_forward_1024, _dif_inverse_1024
     e = _f32dot(x_lp, sel_even)                    # [B, 432] even samples
     x4 = e[:, pitch_mod._X_OFF // 2:pitch_mod._X_OFF // 2 + _LEN4]
     y4 = e[:, :_Y4_LEN]
-    xc4 = jnp.concatenate(
-        [jnp.sum(x4 * y4[:, l:l + _LEN4], axis=-1, keepdims=True)
-         for l in range(_NL4)], axis=-1)                   # [B, 147]
+    (ftc0, fts0, ftc1, fts1, ftc2, fts2,
+     itc0, its0, itc1, its1, itc2, its2,
+     mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl) = c512
+    B = x_lp.shape[0]
+    xpad = jnp.concatenate(
+        [x4, jnp.zeros((B, 512 - _LEN4), jnp.float32)], axis=1)
+    ypad = jnp.concatenate(
+        [y4, jnp.zeros((B, 512 - _Y4_LEN), jnp.float32)], axis=1)
+    ftws = [(ftc0, fts0), (ftc1, fts1), (ftc2, fts2)]
+    itws = [(itc0, its0), (itc1, its1), (itc2, its2)]
+    xr, xi = _dif_forward_1024(xpad, ftws, mch, mcl, mrh, mrl)
+    yr, yi = _dif_forward_1024(ypad, ftws, mch, mcl, mrh, mrl)
+    cr = xr * yr + xi * yi                         # conj(X) * Y
+    ci = xr * yi - xi * yr
+    corr = _dif_inverse_1024(cr, ci, Ah, Al, B0h, B0l, Bjh, Bjl, itws)
+    xc4 = corr[:, :_NL4]                           # [B, 147]
     y2 = y4 * y4
     y2h = y2.astype(jnp.bfloat16)
     y2l = (y2 - y2h.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -228,10 +271,13 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
 
     # ---- HP biquad (exact precomputed kernels, dsp/biquad.py) -------------
     x = pcm.astype(jnp.float32)
-    y = x + _f32dot(x, jnp.asarray(c.bq_K)) \
-          + _f32dot(st.mem_hp, jnp.asarray(c.bq_rowA))
-    mem_hp = _f32dot(st.mem_hp, jnp.asarray(c.bq_SA)) \
-        + _f32dot(x, jnp.asarray(c.bq_SB))
+    if "biquad" in _ABLATE:
+        y, mem_hp = x, st.mem_hp
+    else:
+        y = x + _f32dot(x, jnp.asarray(c.bq_K)) \
+              + _f32dot(st.mem_hp, jnp.asarray(c.bq_rowA))
+        mem_hp = _f32dot(st.mem_hp, jnp.asarray(c.bq_SA)) \
+            + _f32dot(x, jnp.asarray(c.bq_SB))
 
     # ---- pitch buffer shift + downsample/whiten ---------------------------
     pitch_buf = jnp.concatenate([st.pitch_buf[:, FRAME_SIZE:], y], axis=-1)
@@ -239,7 +285,8 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
     ds = _downsample_body(pitch_buf, sel_even)
 
     # ---- pitch chain ------------------------------------------------------
-    bp0, bp1 = _coarse_body(ds, sel_even, jnp.asarray(c.box387), block)
+    bp0, bp1 = _coarse_body(ds, sel_even, jnp.asarray(c.box387),
+                            tuple(jnp.asarray(a) for a in c.c512), block)
     T0, gain = _pitch_body(ds, bp0, bp1, st.last_period[:, 0],
                            st.last_gain[:, 0],
                            tuple(jnp.asarray(a) for a in c.c1024),
@@ -263,26 +310,33 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
     Ep = _f32dot(Pre * Pre + Pim * Pim, band_p)
     Exp = _f32dot(Xre * Pre + Xim * Pim, band_p) / jnp.sqrt(
         0.001 + Ex * Ep)
-
-    L = jnp.log10(1e-2 + Ex)
-    log_max = jnp.full_like(L[:, 0], -2.0)
-    follow = jnp.full_like(L[:, 0], -2.0)
-    cols = []
-    for i in range(NB_BANDS):
-        ly = jnp.maximum(log_max - 7.0, jnp.maximum(follow - 1.5, L[:, i]))
-        log_max = jnp.maximum(log_max, ly)
-        follow = jnp.maximum(follow - 1.5, ly)
-        cols.append(ly[:, None])
-    Ly = jnp.concatenate(cols, axis=-1)
     E = jnp.sum(Ex, axis=-1)
 
-    dct_t = jnp.asarray(c.dct_t)
-    f_bfcc = _f32dot(Ly, dct_t)
-    f_bfcc = jnp.concatenate(
-        [f_bfcc[:, :1] - 12.0, f_bfcc[:, 1:2] - 4.0, f_bfcc[:, 2:]], axis=-1)
-    f_corr = _f32dot(Exp, dct_t)
-    f_pitch = 0.01 * (T0.astype(jnp.float32)[:, None] - 300.0)
-    features = jnp.concatenate([f_bfcc, f_corr, f_pitch], axis=-1)
+    if "features" in _ABLATE:
+        features = jnp.concatenate(
+            [Ex, Exp, 0.01 * (T0.astype(jnp.float32)[:, None] - 300.0)],
+            axis=-1)
+    else:
+        L = jnp.log10(1e-2 + Ex)
+        log_max = jnp.full_like(L[:, 0], -2.0)
+        follow = jnp.full_like(L[:, 0], -2.0)
+        cols = []
+        for i in range(NB_BANDS):
+            ly = jnp.maximum(log_max - 7.0,
+                             jnp.maximum(follow - 1.5, L[:, i]))
+            log_max = jnp.maximum(log_max, ly)
+            follow = jnp.maximum(follow - 1.5, ly)
+            cols.append(ly[:, None])
+        Ly = jnp.concatenate(cols, axis=-1)
+
+        dct_t = jnp.asarray(c.dct_t)
+        f_bfcc = _f32dot(Ly, dct_t)
+        f_bfcc = jnp.concatenate(
+            [f_bfcc[:, :1] - 12.0, f_bfcc[:, 1:2] - 4.0, f_bfcc[:, 2:]],
+            axis=-1)
+        f_corr = _f32dot(Exp, dct_t)
+        f_pitch = 0.01 * (T0.astype(jnp.float32)[:, None] - 300.0)
+        features = jnp.concatenate([f_bfcc, f_corr, f_pitch], axis=-1)
     silence = (E < SILENCE_THRESHOLD)[:, None]             # [B, 1]
     features = jnp.where(silence, 0.0, features)
 
@@ -379,6 +433,13 @@ def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block):
             r[:] = s[:]
 
 
+# The kernel's Mosaic stack (consts ~6.4 MB padded + carry + working set)
+# exceeds the 16 MiB default scoped-VMEM budget (24.1 MB at block 64); v5e
+# has 128 MiB physical VMEM, so raise the per-kernel limit instead of
+# shrinking the block below MXU-efficient sizes.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def process_chunk_monokernel(state, pcm_tm, packed_weights,
                              block: int = 64, interpret: bool = False):
     """The whole-chunk monokernel: denoise state (permuted widths) + pcm
@@ -434,6 +495,8 @@ def process_chunk_monokernel(state, pcm_tm, packed_weights,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(*fs, pcm_tm, *[jnp.asarray(w) for w in weights],
       *[jnp.asarray(a) for a in leaves])
 

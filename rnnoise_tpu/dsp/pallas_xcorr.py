@@ -59,33 +59,40 @@ def _xcorr_consts():
 
 
 def _dif_forward_1024(v, tws, mch, mcl, mrh, mrl):
-    """v: [B, 1024] real -> permuted spectrum ([B, 520], [B, 520]) re, im.
-    Leaf at position p holds natural bins k = 8t + bitrev3(p)."""
+    """v: [B, N] real -> permuted spectrum ([B, 8*tg], [B, 8*tg]) re, im.
+    Leaf at position p holds natural bins k = 8t + bitrev3(p).  Size-generic
+    over the 3-level DIF with 8 leaves: the leaf width is inferred from the
+    matrices, so the same machinery serves N=1024 (fine correlation) and
+    N=512 (the monokernel's coarse correlation, pallas_frame)."""
+    tgroup = mch.shape[1] // 2
     seqs = [(v, None)]
     for (twc, tws_) in tws:
         seqs = [out for s in seqs for out in _dif_split(s, twc, tws_)]
     B = v.shape[0]
     cplx = jnp.concatenate(
         [jnp.concatenate([re, im], axis=1) for re, im in seqs[1:]], axis=0)
-    spec_c = _x3_dot(cplx, mch, mcl)                     # [7B, 130]
+    spec_c = _x3_dot(cplx, mch, mcl)                     # [7B, 2*tg]
     groups = [None] * _NLEAF
     groups[_bitrev3(0)] = _x3_dot(seqs[0][0], mrh, mrl)
     for p in range(1, _NLEAF):
         groups[_bitrev3(p)] = spec_c[(p - 1) * B:p * B]
-    re = jnp.concatenate([g[:, :_TGROUP] for g in groups], axis=1)
-    im = jnp.concatenate([g[:, _TGROUP:] for g in groups], axis=1)
+    re = jnp.concatenate([g[:, :tgroup] for g in groups], axis=1)
+    im = jnp.concatenate([g[:, tgroup:] for g in groups], axis=1)
     return re, im
 
 
 def _dif_inverse_1024(re, im, Ah, Al, B0h, B0l, Bjh, Bjl, tws):
-    """Permuted spectrum [B, 520] re/im (conjugate-symmetric) -> [B, 1024]
-    real time signal (scaled 1/N via the leaf matrices)."""
+    """Permuted spectrum [B, 8*tg] re/im (conjugate-symmetric) -> [B, N]
+    real time signal (scaled 1/N via the leaf matrices).  Size-generic like
+    :func:`_dif_forward_1024`."""
     B = re.shape[0]
+    tgroup = re.shape[1] // _NLEAF
+    leaf = Ah.shape[1] // 2
 
     def stored(j):
         return jnp.concatenate(
-            [re[:, j * _TGROUP:(j + 1) * _TGROUP],
-             im[:, j * _TGROUP:(j + 1) * _TGROUP]], axis=1)
+            [re[:, j * tgroup:(j + 1) * tgroup],
+             im[:, j * tgroup:(j + 1) * tgroup]], axis=1)
 
     direct_in = jnp.concatenate([stored(j) for j in range(_NLEAF)], axis=0)
     direct = _x3_dot(direct_in, Ah, Al)                  # [8B, 256]
@@ -99,7 +106,7 @@ def _dif_inverse_1024(re, im, Ah, Al, B0h, B0l, Bjh, Bjl, tws):
             tm = tm + _x3_dot(stored(0), B0h, B0l)
         else:
             tm = tm + conj_c[(j - 1) * B:j * B]
-        leaves[_bitrev3(j)] = (tm[:, :_LEAF], tm[:, _LEAF:])
+        leaves[_bitrev3(j)] = (tm[:, :leaf], tm[:, leaf:])
 
     for lvl, (twc, tws_) in enumerate(tws):
         last = lvl == len(tws) - 1
