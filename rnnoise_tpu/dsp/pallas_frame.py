@@ -58,10 +58,15 @@ class FrameConsts(NamedTuple):
     bq_rowA: np.ndarray      # [480, 2]
     bq_SA: np.ndarray        # [2, 2]
     bq_SB: np.ndarray        # [480, 2]
-    # decimation (Mosaic has no strided lane slice: even-sample extraction is
-    # a single-1-per-column f32 selection matmul — exact, every output is one
-    # unrounded product x*1.0)
-    sel_even: np.ndarray     # [864, 432] f32
+    # decimation (Mosaic has no strided lane slice — probed on this
+    # toolchain: x[:, ::2], lax.slice strides and lane-splitting reshapes
+    # all fail to lower.  Even-sample extraction is a single-1-per-column
+    # selection matmul instead; stored bf16 (0/1 exact) and applied via
+    # _sel_dot's 3-term split, which is still EXACT: each output column
+    # selects one x, whose three non-overlapping bf16 mantissa segments
+    # (8+8+8 bits >= f32's 24) recombine without rounding, at full-rate
+    # bf16 MXU passes instead of the 6-pass f32 path.)
+    sel_even: np.ndarray     # [864, 432] bf16
     # coarse search
     box387: np.ndarray       # [387, 147] bf16 banded ones (240-long sums)
     c512: tuple              # factored DFT-512 consts (coarse correlation)
@@ -93,6 +98,7 @@ def frame_consts() -> FrameConsts:
     half = pitch_mod._DS_LEN                     # 864
     sel_even = np.zeros((half, half // 2), np.float32)
     sel_even[np.arange(0, half, 2), np.arange(half // 2)] = 1.0
+    sel_even = sel_even.astype(np.dtype("bfloat16"))
     win, tws9, leaf_c, leaf_r = _fwd_consts()
     (ih, il), (bh, bl) = _post_consts()
     (Ah, Al), (B0h, B0l), (Bjh, Bjl), itws, iwin = _inv_consts()
@@ -114,6 +120,20 @@ def frame_consts() -> FrameConsts:
 def _f32dot(a, b):
     return jnp.dot(a, b, precision="float32",
                    preferred_element_type=jnp.float32)
+
+
+def _sel_dot(x, sel):
+    """Exact selection matmul: x [B, n] f32, sel [n, m] bf16 with a single
+    1.0 per column -> x's selected columns, bit-exact (see FrameConsts
+    sel_even note), in three full-rate bf16 MXU passes."""
+    f32 = jnp.float32
+    xh = x.astype(jnp.bfloat16)
+    r1 = x - xh.astype(f32)
+    xm = r1.astype(jnp.bfloat16)
+    xl = (r1 - xm.astype(f32)).astype(jnp.bfloat16)
+    return (jnp.dot(xh, sel, preferred_element_type=f32)
+            + jnp.dot(xm, sel, preferred_element_type=f32)
+            + jnp.dot(xl, sel, preferred_element_type=f32))
 
 
 # Perf-ablation switches (cost attribution inside the monokernel, used by
@@ -139,8 +159,8 @@ def _downsample_body(pitch_buf, sel_even):
     xr = jnp.concatenate([x[:, 1:], zero1], axis=-1)
     sm = 0.25 * (xl + xr) + 0.5 * x
     half = pitch_mod._DS_LEN                       # 864
-    e0 = _f32dot(sm[:, :half], sel_even)
-    e1 = _f32dot(sm[:, half:], sel_even)
+    e0 = _sel_dot(sm[:, :half], sel_even)
+    e1 = _sel_dot(sm[:, half:], sel_even)
     x_lp = jnp.concatenate([e0, e1], axis=-1)      # [S, 864]
     iota = jax.lax.broadcasted_iota(jnp.int32, x_lp.shape, 1)
     x_lp = jnp.where(iota == 0, 0.25 * x[:, 1:2] + 0.5 * x[:, 0:1], x_lp)
@@ -199,7 +219,7 @@ def _coarse_body(x_lp, sel_even, box387, c512, block):
     S=3072, dominating the whole monokernel); the sliding energies as one
     banded bf16 matmul (~1e-6, ranking-tolerance class)."""
     from .pallas_xcorr import _dif_forward_1024, _dif_inverse_1024
-    e = _f32dot(x_lp, sel_even)                    # [B, 432] even samples
+    e = _sel_dot(x_lp, sel_even)                   # [B, 432] even samples
     x4 = e[:, pitch_mod._X_OFF // 2:pitch_mod._X_OFF // 2 + _LEN4]
     y4 = e[:, :_Y4_LEN]
     (ftc0, fts0, ftc1, fts1, ftc2, fts2,
@@ -318,16 +338,31 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
             axis=-1)
     else:
         L = jnp.log10(1e-2 + Ex)
-        log_max = jnp.full_like(L[:, 0], -2.0)
-        follow = jnp.full_like(L[:, 0], -2.0)
-        cols = []
-        for i in range(NB_BANDS):
-            ly = jnp.maximum(log_max - 7.0,
-                             jnp.maximum(follow - 1.5, L[:, i]))
-            log_max = jnp.maximum(log_max, ly)
-            follow = jnp.maximum(follow - 1.5, ly)
-            cols.append(ly[:, None])
-        Ly = jnp.concatenate(cols, axis=-1)
+        # The reference's sequential log-energy follower (denoise.c band
+        # loop) is a max-plus scan, so it has the closed form
+        #   ly_i = max(L_i, max_{j<i} L_j - 7, max_{j<i}(L_j - 1.5(i-j)),
+        #              -9, -2 - 1.5(i+1))
+        # (the last two terms are the log_max/follow inits).  max is
+        # order-insensitive, so doubling steps replace the 32-iteration
+        # serial loop (5 shifted maxima instead of ~100 dependent ops);
+        # only the decay accumulation differs by <=2 ulp from the serial
+        # subtraction chain — far inside the features tolerance.
+        B = L.shape[0]
+        neg = jnp.float32(-1e30)
+
+        def shift(a, k):
+            return jnp.concatenate(
+                [jnp.full((B, k), neg, a.dtype), a[:, :-k]], axis=-1)
+
+        m = shift(L, 1)
+        d = shift(L, 1) - 1.5
+        for k in (1, 2, 4, 8, 16):
+            m = jnp.maximum(m, shift(m, k))
+            d = jnp.maximum(d, shift(d, k) - 1.5 * k)
+        idx = jax.lax.broadcasted_iota(jnp.int32, L.shape, 1)
+        init = jnp.maximum(jnp.float32(-9.0),
+                           -2.0 - 1.5 * (idx.astype(jnp.float32) + 1.0))
+        Ly = jnp.maximum(jnp.maximum(L, m - 7.0), jnp.maximum(d, init))
 
         dct_t = jnp.asarray(c.dct_t)
         f_bfcc = _f32dot(Ly, dct_t)
