@@ -154,25 +154,36 @@ def _downsample_body(pitch_buf, sel_even):
     up to reduction order in the autocorrelation."""
     x = pitch_buf
     S = x.shape[0]
-    zero1 = jnp.zeros((S, 1), x.dtype)
-    xl = jnp.concatenate([zero1, x[:, :-1]], axis=-1)
-    xr = jnp.concatenate([x[:, 1:], zero1], axis=-1)
-    sm = 0.25 * (xl + xr) + 0.5 * x
     half = pitch_mod._DS_LEN                       # 864
-    e0 = _sel_dot(sm[:, :half], sel_even)
-    e1 = _sel_dot(sm[:, half:], sel_even)
-    x_lp = jnp.concatenate([e0, e1], axis=-1)      # [S, 864]
-    iota = jax.lax.broadcasted_iota(jnp.int32, x_lp.shape, 1)
-    x_lp = jnp.where(iota == 0, 0.25 * x[:, 1:2] + 0.5 * x[:, 0:1], x_lp)
+    if "ds_sm" in _ABLATE:
+        sm = x * 0.5
+    else:
+        zero1 = jnp.zeros((S, 1), x.dtype)
+        xl = jnp.concatenate([zero1, x[:, :-1]], axis=-1)
+        xr = jnp.concatenate([x[:, 1:], zero1], axis=-1)
+        sm = 0.25 * (xl + xr) + 0.5 * x
+    if "ds_sel" in _ABLATE:
+        x_lp = sm[:, :half]
+    else:
+        e0 = _sel_dot(sm[:, :half], sel_even)
+        e1 = _sel_dot(sm[:, half:], sel_even)
+        x_lp = jnp.concatenate([e0, e1], axis=-1)  # [S, 864]
+        iota = jax.lax.broadcasted_iota(jnp.int32, x_lp.shape, 1)
+        x_lp = jnp.where(iota == 0,
+                         0.25 * x[:, 1:2] + 0.5 * x[:, 0:1], x_lp)
 
-    # order-4 autocorr + lag window (rnn_autocorr, celt_lpc.c:92-174)
     n = half
-    ac = [jnp.sum(x_lp[:, : n - k] * x_lp[:, k:], axis=-1, keepdims=True)
-          for k in range(5)]
-    ac[0] = ac[0] * 1.0001
-    for i in range(1, 5):
-        ac[i] = ac[i] - ac[i] * (0.008 * i) ** 2
-    lpc = pitch_mod._levinson4(ac)
+    if "ds_lpc" in _ABLATE:
+        lpc = [jnp.full((S, 1), 0.01 * (i + 1), jnp.float32)
+               for i in range(4)]
+    else:
+        # order-4 autocorr + lag window (rnn_autocorr, celt_lpc.c:92-174)
+        ac = [jnp.sum(x_lp[:, : n - k] * x_lp[:, k:], axis=-1, keepdims=True)
+              for k in range(5)]
+        ac[0] = ac[0] * 1.0001
+        for i in range(1, 5):
+            ac[i] = ac[i] - ac[i] * (0.008 * i) ** 2
+        lpc = pitch_mod._levinson4(ac)
     tmp = 1.0
     for i in range(4):
         tmp *= 0.9
@@ -180,6 +191,8 @@ def _downsample_body(pitch_buf, sel_even):
     c1 = 0.8
     num = [lpc[0] + c1, lpc[1] + c1 * lpc[0], lpc[2] + c1 * lpc[1],
            lpc[3] + c1 * lpc[2], c1 * lpc[3]]
+    if "ds_fir" in _ABLATE:
+        return x_lp + num[0]
     # celt_fir5 (pitch.c:104-143)
     y = x_lp
     for k in range(5):
