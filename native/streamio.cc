@@ -229,10 +229,19 @@ StreamPool* rnnt_pool_create(int n_slots, int ring_frames) {
     p->in_rings[i].reset((size_t)ring_frames * kFrameSize);
     p->out_rings[i].reset((size_t)ring_frames * kFrameSize);
   }
-  int hw = (int)std::thread::hardware_concurrency();
-  int nt = hw > 2 ? hw - 2 : 1;     // leave headroom for the device runtime
-  if (nt > 16) nt = 16;
-  p->threads = new Pool(nt - 1 > 0 ? nt - 1 : 1);
+  int nt;
+  const char* env = std::getenv("RNNT_THREADS");  // worker-count override
+  if (env && *env) {                              // (host-scaling experiments)
+    nt = std::atoi(env);
+    if (nt < 1) nt = 1;
+    if (nt > 64) nt = 64;
+    p->threads = new Pool(nt);
+  } else {
+    int hw = (int)std::thread::hardware_concurrency();
+    nt = hw > 2 ? hw - 2 : 1;  // leave headroom for the device runtime
+    if (nt > 16) nt = 16;
+    p->threads = new Pool(nt - 1 > 0 ? nt - 1 : 1);
+  }
   return p;
 }
 

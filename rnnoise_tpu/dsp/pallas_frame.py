@@ -141,6 +141,7 @@ def _sel_dot(x, sel):
 # members of {"biquad", "features"} skip that stage with shape-compatible
 # stand-ins.
 _ABLATE: frozenset = frozenset()
+_SKIP_CONST_READ = False      # profiling only (see _frame_kernel)
 
 
 def _downsample_body(pitch_buf, sel_even):
@@ -467,8 +468,13 @@ def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block):
             s[:] = r[:]
 
     st = FrameState(*[s[:] for s in scratch])
-    consts = jax.tree.unflatten(treedef, [r[:] for r in c_refs])
-    weights = tuple(r[:] for r in w_refs)
+    if _SKIP_CONST_READ:        # profiling only: cost of wholesale ref reads
+        consts = jax.tree.unflatten(
+            treedef, [jnp.zeros(r.shape, r.dtype) for r in c_refs])
+        weights = tuple(jnp.zeros(r.shape, r.dtype) for r in w_refs)
+    else:
+        consts = jax.tree.unflatten(treedef, [r[:] for r in c_refs])
+        weights = tuple(r[:] for r in w_refs)
     new, out, vad = frame_body(st, pcm_ref[0], weights, consts, block)
     for s, v in zip(scratch, new):
         s[:] = v

@@ -119,3 +119,40 @@ def test_partial_chunk_ordering_preserved(model_params):
     got = eng.pull(s, 4 * FRAME_SIZE).astype(np.float64)
     ref = np.clip(np.round(np.asarray(ref).reshape(-1)), -32768, 32767)
     np.testing.assert_allclose(got, ref, atol=1.5)
+
+
+def test_streaming_engine_pipelined_matches_direct(model_params):
+    """pipelined=True must produce the same per-stream output as the direct
+    engine, one tick later: tick() commits the PREVIOUS chunk while the
+    device computes the current one, and flush() drains the last one."""
+    from rnnoise_tpu.api import RNNoise
+    from rnnoise_tpu.runtime.engine import StreamingEngine
+
+    rng = np.random.default_rng(11)
+    n_chunks, T = 3, 4
+    sig = (3000 * rng.standard_normal(n_chunks * T * FRAME_SIZE)).astype(
+        np.int16)
+
+    def run(pipelined):
+        eng = StreamingEngine(2, RNNoise(model_params), chunk_frames=T,
+                              pipelined=pipelined)
+        s = eng.attach()
+        advanced = []
+        for c in range(n_chunks):
+            eng.push(s, sig[c * T * FRAME_SIZE:(c + 1) * T * FRAME_SIZE])
+            advanced.append(eng.tick())
+        if pipelined:
+            advanced.append(eng.flush())
+        out = eng.pull(s, n_chunks * T * FRAME_SIZE)
+        return advanced, out
+
+    adv_d, out_d = run(False)
+    adv_p, out_p = run(True)
+    assert adv_d == [1, 1, 1]
+    # pipelined: first tick commits nothing, flush drains the last chunk
+    assert adv_p == [0, 1, 1, 1]
+    np.testing.assert_array_equal(out_p, out_d)
+    # flush with nothing pending is a no-op
+    eng = StreamingEngine(1, RNNoise(model_params), chunk_frames=T,
+                          pipelined=True)
+    assert eng.flush() == 0
