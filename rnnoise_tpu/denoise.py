@@ -67,6 +67,53 @@ def _spec_width() -> int:
     return FREQ_SIZE
 
 
+# Whole-frame monokernel dispatch (dsp/pallas_frame): "on" routes
+# process_frames_tm through the single-Pallas-call T-grid kernel when
+# viable, "off" always scans process_frame.  Default off: on v5e at
+# S=3072/T=400 the monokernel currently ties the scan (1.41 vs 1.39
+# ms/frame) — flip to "auto" when it wins.
+_MONOKERNEL = "off"
+_MONO_BLOCKS = (384, 256, 128)
+
+
+def set_monokernel(mode: str) -> None:
+    global _MONOKERNEL
+    assert mode in ("on", "off")
+    _MONOKERNEL = mode
+
+
+def _mono_block(S: int) -> Optional[int]:
+    for b in _MONO_BLOCKS:
+        if S % b == 0:
+            return b
+    return None
+
+
+def _monokernel_viable(params, state, S: int, rt: RuntimeConfig) -> bool:
+    from .dsp import pallas_spectral
+    return (_MONOKERNEL == "on" and params is not None
+            and rt.quantized and rt.approx_act
+            and params.conv2.weights_q is not None
+            and pallas_spectral.fused_enabled()     # permuted state layout
+            and state.delayed_X.shape[-1] == 2 * pallas_spectral.PERM_WIDTH
+            and _mono_block(S) is not None
+            and jax.default_backend() == "tpu")
+
+
+_PACKED_CACHE: dict = {}
+
+
+def _packed_weights(params):
+    """pack_params memoised by identity (holds a strong ref so ids stay
+    valid; models are few and long-lived)."""
+    key = id(params)
+    hit = _PACKED_CACHE.get(key)
+    if hit is None or hit[0] is not params:
+        from .nn.pallas_rnn import pack_params
+        _PACKED_CACHE[key] = hit = (params, pack_params(params))
+    return hit[1]
+
+
 def init_state(n_streams: int,
                config: ModelConfig = DEFAULT_MODEL) -> DenoiseState:
     """Zero state for S streams (rnnoise_init, denoise.c:285-309)."""
@@ -372,6 +419,11 @@ def process_frames_tm(params: Optional[ModelParams], state: DenoiseState,
     # shapes where the trade flips.  A full block-batched restructure
     # (denoise_blocked) measured 35-45% slower — scoped-VMEM residency, see
     # its docstring.
+    if _monokernel_viable(params, state, pcm.shape[1], rt):
+        from .dsp.pallas_frame import process_chunk_monokernel
+        return process_chunk_monokernel(state, pcm, _packed_weights(params),
+                                        block=_mono_block(pcm.shape[1]))
+
     def step(st, frame):
         st, out, vad = process_frame(params, st, frame, rt)
         return st, (out, vad)

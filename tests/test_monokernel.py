@@ -83,3 +83,26 @@ def test_monokernel_multi_block_grid(model_params, rng):
                                       np.asarray(out_h))
         np.testing.assert_array_equal(np.asarray(vad_all)[:, lo:lo + 2],
                                       np.asarray(vad_h))
+
+
+def test_monokernel_dispatch_cpu_fallback(model_params, rng):
+    """set_monokernel("on") must fall back to the scan off-TPU (viability
+    gate) and produce identical results through process_frames_tm."""
+    import jax.numpy as jnp
+    from rnnoise_tpu import denoise
+    from rnnoise_tpu.config import RuntimeConfig, FRAME_SIZE
+
+    st = denoise.init_state(2)
+    pcm = jnp.asarray(1000 * rng.standard_normal((3, 2, FRAME_SIZE)),
+                      jnp.float32)
+    rt = RuntimeConfig(quantized=True)
+    denoise.set_monokernel("on")
+    try:
+        st_on, out_on, vad_on = denoise.process_frames_tm(
+            model_params, st, pcm, rt)
+    finally:
+        denoise.set_monokernel("off")
+    st_off, out_off, vad_off = denoise.process_frames_tm(
+        model_params, st, pcm, rt)
+    np.testing.assert_array_equal(np.asarray(out_on), np.asarray(out_off))
+    np.testing.assert_array_equal(np.asarray(vad_on), np.asarray(vad_off))
