@@ -461,6 +461,12 @@ def process_frames_tm_i16(params: Optional[ModelParams], state: DenoiseState,
     the single-core host tick).  Output rounding is bit-identical to the
     native ring's float path: round half away from zero, clip to int16
     (streamio.cc Ring::push_f32)."""
+    if _monokernel_viable(params, state, pcm.shape[1], rt):
+        # conversions move INSIDE the kernel: int16 pcm in, int16 out
+        from .dsp.pallas_frame import process_chunk_monokernel
+        return process_chunk_monokernel(state, pcm.astype(jnp.int16),
+                                        _packed_weights(params),
+                                        block=_mono_block(pcm.shape[1]))
     state, out, vad = process_frames_tm(params, state,
                                         pcm.astype(jnp.float32), rt)
     rounded = jnp.trunc(jnp.where(out > 0, out + 0.5, out - 0.5))

@@ -448,10 +448,18 @@ def _state_widths():
                 dExp=32)
 
 
-def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block):
+def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1):
     """Grid (S_blocks, T), T sequential.  refs layout:
     [17 state-in] [pcm] [n_w weights] [n_c consts]
-    [17 state-out] [out] [vad] [17 scratch]."""
+    [17 state-out] [out] [vad] [17 scratch].
+
+    ``split`` > 1 runs the body on independent row sub-blocks, giving the
+    scheduler two independent phase chains to interleave (one sub-block's
+    VPU butterflies against the other's MXU matmuls).  MEASURED NEUTRAL on
+    v5e at S=3072/T=400 (384/2: 1.422, 384/3: 1.438, 256/2: 1.471 vs 1.406
+    ms/frame at 384/1) — Mosaic's within-chain pipelining already covers the
+    overlap; kept because the mechanism is three lines and documents the
+    experiment."""
     state_in = refs[:_STATE_FIELDS]
     pcm_ref = refs[_STATE_FIELDS]
     w_refs = refs[_STATE_FIELDS + 1:_STATE_FIELDS + 1 + n_w]
@@ -478,9 +486,27 @@ def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block):
     else:
         consts = jax.tree.unflatten(treedef, [r[:] for r in c_refs])
         weights = tuple(r[:] for r in w_refs)
-    new, out, vad = frame_body(st, pcm_ref[0], weights, consts, block)
+    if split == 1:
+        new, out, vad = frame_body(st, pcm_ref[0], weights, consts, block)
+    else:
+        sub = block // split
+        parts = []
+        for i in range(split):
+            st_i = FrameState(*[a[i * sub:(i + 1) * sub] for a in st])
+            parts.append(frame_body(st_i, pcm_ref[0][i * sub:(i + 1) * sub],
+                                    weights, consts, sub))
+        new = FrameState(*[jnp.concatenate(rows, axis=0)
+                           for rows in zip(*[p[0] for p in parts])])
+        out = jnp.concatenate([p[1] for p in parts], axis=0)
+        vad = jnp.concatenate([p[2] for p in parts], axis=0)
     for s, v in zip(scratch, new):
         s[:] = v
+    if out_ref.dtype == jnp.int16:
+        # round half away from zero + clip: bit-identical to the native
+        # ring's float path (streamio.cc Ring::push_f32) and to
+        # denoise.process_frames_tm_i16
+        rounded = jnp.trunc(jnp.where(out > 0, out + 0.5, out - 0.5))
+        out = jnp.clip(rounded, -32768.0, 32767.0).astype(jnp.int16)
     out_ref[0] = out
     vad_ref[0] = vad
 
@@ -498,13 +524,19 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def process_chunk_monokernel(state, pcm_tm, packed_weights,
-                             block: int = 64, interpret: bool = False):
+                             block: int = 384, interpret: bool = False,
+                             split: int = 1):
     """The whole-chunk monokernel: denoise state (permuted widths) + pcm
     [T, S, 480] f32 -> (new state, out [T, S, 480], vad [T, S]).
 
     Per-stream state lives in VMEM scratch for the whole chunk — HBM sees
     only pcm in, pcm out, and one state read/write per chunk.  ``state`` is
-    a denoise.DenoiseState with fused (permuted) spectrum widths."""
+    a denoise.DenoiseState with fused (permuted) spectrum widths.
+
+    When ``pcm_tm`` is int16, the int16<->f32 conversions happen INSIDE the
+    kernel (frame_body casts on read; the output is rounded/clipped like
+    process_frames_tm_i16) and ``out`` is int16 — half the pcm HBM traffic
+    and the exact engine boundary (streamio rings)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..denoise import DenoiseState
@@ -538,14 +570,14 @@ def process_chunk_monokernel(state, pcm_tm, packed_weights,
                  + [seq_spec(FRAME_SIZE), seq_spec(1)])
     out_shape = ([jax.ShapeDtypeStruct((S, w), a.dtype)
                   for w, a in zip(wlist, fs)]
-                 + [jax.ShapeDtypeStruct((T, S, FRAME_SIZE), jnp.float32),
+                 + [jax.ShapeDtypeStruct((T, S, FRAME_SIZE), pcm_tm.dtype),
                     jax.ShapeDtypeStruct((T, S, 1), jnp.float32)])
     scratch = [pltpu.VMEM((block, w), a.dtype) for w, a in zip(wlist, fs)]
 
     outs = pl.pallas_call(
         functools.partial(_frame_kernel, treedef=treedef,
                           n_w=len(weights), n_c=len(leaves), n_t=T,
-                          block=block),
+                          block=block, split=split),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
