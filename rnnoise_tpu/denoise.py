@@ -417,8 +417,9 @@ def process_frames_tm(params: Optional[ModelParams], state: DenoiseState,
     # trip of the materialised filtered chunk outweighs the batched-matmul
     # win.  Kept in dsp/biquad.py (bit-matching test) for shorter-T serving
     # shapes where the trade flips.  A full block-batched restructure
-    # (denoise_blocked) measured 35-45% slower — scoped-VMEM residency, see
-    # its docstring.
+    # measured 35-45% slower at every (S, B) — scoped-VMEM residency
+    # (CLAUDE.md "round 2 mid"); the module (denoise_blocked) was pruned in
+    # round 3 once the monokernel superseded the idea.
     if _monokernel_viable(params, state, pcm.shape[1], rt):
         from .dsp.pallas_frame import process_chunk_monokernel
         return process_chunk_monokernel(state, pcm, _packed_weights(params),

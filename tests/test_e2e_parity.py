@@ -110,38 +110,6 @@ def test_multi_stream_independence(model_params, rng):
                                    atol=1.0)
 
 
-def test_blocked_pipeline_oracle_parity(oracle_int8, model_params, rng):
-    """The block-batched pipeline (denoise_blocked) holds the same oracle
-    budget as the per-frame scan: PCM within 4 LSB, VAD within 2e-3, over
-    150 stateful frames dispatched 10 at a time (block=5)."""
-    from rnnoise_tpu.denoise_blocked import process_frames_blocked
-    rt = RuntimeConfig(quantized=True)
-    n_frames = 150
-    sig = _make_signal(rng, n_frames)
-
-    st_c = oracle_int8.create_state()
-    ref = [st_c.process_frame(sig[f * FRAME_SIZE:(f + 1) * FRAME_SIZE])
-           for f in range(n_frames)]
-    out_c = np.stack([r[0] for r in ref])
-    vad_c = np.array([r[1] for r in ref])
-
-    state = init_state(1)
-    step = jax.jit(lambda s, x: process_frames_blocked(
-        model_params, s, x, rt, block=5))
-    outs = []
-    vads = []
-    chunk = 10
-    for i in range(0, n_frames, chunk):
-        x = sig[i * FRAME_SIZE:(i + chunk) * FRAME_SIZE]
-        state, o, v = step(state, jnp.asarray(x).reshape(1, chunk, FRAME_SIZE))
-        outs.append(np.asarray(o)[0])
-        vads.append(np.asarray(v)[0])
-    out_j = np.concatenate(outs)
-    vad_j = np.concatenate(vads)
-    assert np.abs(out_j - out_c).max() < 4.0
-    assert np.abs(vad_j - vad_c).max() < 2e-3
-
-
 def test_time_major_entry_matches_stream_major(model_params, rng):
     """process_frames_tm([T, S, ...]) == process_frames([S, T, ...])."""
     from rnnoise_tpu.denoise import process_frames_tm

@@ -34,24 +34,6 @@ def test_pallas_rnn_matches_xla(model_params, rng):
                                        atol=1e-5)
 
 
-def test_factored_dft_matches_direct(rng):
-    """Two-stage factored DFT kernel (interpret mode) vs the direct
-    transform."""
-    import jax.numpy as jnp
-    from rnnoise_tpu.dsp import transform as tr
-    from rnnoise_tpu.dsp.pallas_dft import factored_forward_transform
-
-    x = jnp.asarray(3000 * rng.standard_normal((8, 960)), jnp.float32)
-    X1 = np.asarray(factored_forward_transform(x, windowed=True, block=8,
-                                               interpret=True))
-    try:
-        tr.set_dft_mode("fft")
-        X2 = np.asarray(tr.forward_transform(tr.apply_window(x)))
-    finally:
-        tr.set_dft_mode("auto")
-    np.testing.assert_allclose(X1, X2, atol=3e-6 * np.abs(X2).max())
-
-
 def test_fused_forward_spectral_matches_xla(rng):
     """The fused DIF forward kernel (interpret mode) vs the XLA path:
     window extraction + windowed forward DFT, compared in permuted order."""
