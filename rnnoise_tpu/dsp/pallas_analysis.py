@@ -171,63 +171,99 @@ def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
     # ---- remove_doubling ladder (pitch.remove_doubling, bx resident) ------
     # bx/box are indexed by window-start u; a period lag t reads u = 384 - t
     # (exactly pitch.remove_doubling's index flip).
+    #
+    # The reference's sequential k = 2..15 loop is restated VECTORIZED over
+    # k: every per-k quantity (T1, T1b, cont, thresh, g1, take) is one
+    # [B, 14] op instead of 14 [B] ops, the 28 two-hot table reduces become
+    # ONE [B, 14, 385] masked reduce, and "the last passing k wins" becomes
+    # an argmax selection.  Arithmetic per (stream, k) is term-for-term the
+    # reference's, and the selection extracts single f32 values through
+    # one-hot sums (exact), so decisions and outputs are unchanged — this
+    # cut the ladder from 0.173 to ~half of the monokernel frame cost
+    # attributable to op dispatch of ~100 narrow [B] ops.
     T0 = jnp.minimum(pitch_index // 2, _MAXP2 - 1).astype(jnp.int32)
     prev_period = (prev_period_48k // 2).astype(jnp.int32)
-
-    # One boolean mask serves each table lookup pair: a two-hot row selects
-    # both ladder lags at once, and the SAME mask reduces bx and yy (the
-    # reference reads corr and energy at identical lags).  0.5*sum(two-hot *
-    # t) == 0.5*(t[i1]+t[i2]) exactly (adding selected f32 values in either
-    # grouping scales by an exact power of two; a==b collapses to t[a]).
-    # This halves the masked-reduce count of the ladder from ~60 to ~30 —
-    # the reduces dominate the monokernel's fine-pitch cost at block 128.
     lag_iota = jax.lax.broadcasted_iota(jnp.int32, bx.shape, 1)
 
     def lag_pair(t1, t2):
+        # two-hot: 0.5*sum(m * v) == 0.5*(v[i1] + v[i2]) exactly (power-of-2
+        # scale; i1 == i2 collapses to v[i1])
         m = ((lag_iota == (_MAXP2 - t1)[:, None]).astype(f32)
              + (lag_iota == (_MAXP2 - t2)[:, None]).astype(f32))
         return (0.5 * jnp.sum(m * bx, axis=-1),
                 0.5 * jnp.sum(m * yy_rev_fwd, axis=-1))
 
-    def lag_corr(t):
-        return _take_row(bx, _MAXP2 - t)
-
     xx = bx[:, _MAXP2]                          # lag 0 = index 384
     xy, yy = lag_pair(T0, T0)
     g0 = xy / jnp.sqrt(1.0 + xx * yy)
-    g = g0
-    best_xy, best_yy, T = xy, yy, T0
 
-    active = jnp.ones((block,), bool)
-    ks = () if "ladder" in _ABLATE else range(2, 16)
-    for k in ks:
-        T1 = (2 * T0 + k) // (2 * k)
-        sck = _SECOND_CHECK[k]
-        T1b = (2 * sck * T0 + k) // (2 * k)
-        if k == 2:
-            T1b = jnp.where(T1 + T0 > _MAXP2, T0, T0 + T1)
-        active = active & (T1 >= _MINP2)
-        xy_k, yy_k = lag_pair(T1, T1b)
-        g1 = xy_k / jnp.sqrt(1.0 + xx * yy_k)
-        d = jnp.abs(T1 - prev_period)
-        cont = jnp.where(d <= 1, prev_gain,
-                         jnp.where((d <= 2) & (5 * k * k < T0),
-                                   0.5 * prev_gain, 0.0))
-        thresh = jnp.maximum(0.3, 0.7 * g0 - cont)
+    if "ladder" in _ABLATE:
+        best_xy, best_yy, T, g = xy, yy, T0, g0
+    else:
+        # ks / second-check table derived from iota (pallas kernels reject
+        # captured constants); scks: 2 for odd k, 5 for k % 6 == 0, else 3
+        # == _SECOND_CHECK[2:16]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (block, 14), 1)
+        ks = kidx + 2                                      # [B, 14]
+        scks = jnp.where(ks % 2 == 1, 2, jnp.where(ks % 6 == 0, 5, 3))
+        T0k = T0[:, None]                                  # [B, 1]
+        T1 = (2 * T0k + ks) // (2 * ks)                    # [B, 14]
+        T1b = (2 * scks * T0k + ks) // (2 * ks)
+        k2_fix = jnp.where(T1[:, :1] + T0k > _MAXP2, T0k, T0k + T1[:, :1])
+        T1b = jnp.where(kidx == 0, k2_fix, T1b)
+        # cumulative AND of (T1 >= _MINP2) along k (log-doubling, exact)
+        ok = (T1 >= _MINP2).astype(jnp.int32)
+        for sh in (1, 2, 4, 8):
+            shifted = jnp.concatenate(
+                [jnp.ones((block, sh), jnp.int32), ok[:, :-sh]], axis=1)
+            ok = ok * shifted
+        active = ok > 0                                    # [B, 14]
+
+        # all 28 lookups in one 3D two-hot reduce
+        iota3 = jax.lax.broadcasted_iota(
+            jnp.int32, (block, 14, bx.shape[1]), 2)
+        m3 = ((iota3 == (_MAXP2 - T1)[:, :, None]).astype(f32)
+              + (iota3 == (_MAXP2 - T1b)[:, :, None]).astype(f32))
+        xy_k = 0.5 * jnp.sum(m3 * bx[:, None, :], axis=-1)      # [B, 14]
+        yy_k = 0.5 * jnp.sum(m3 * yy_rev_fwd[:, None, :], axis=-1)
+
+        g1 = xy_k / jnp.sqrt(1.0 + xx[:, None] * yy_k)
+        d = jnp.abs(T1 - prev_period[:, None])
+        cont = jnp.where(d <= 1, prev_gain[:, None],
+                         jnp.where((d <= 2) & (5 * ks * ks < T0k),
+                                   0.5 * prev_gain[:, None], 0.0))
+        thresh = jnp.maximum(0.3, 0.7 * g0[:, None] - cont)
         thresh = jnp.where(T1 < 3 * _MINP2,
-                           jnp.maximum(0.4, 0.85 * g0 - cont), thresh)
-        take = active & (g1 > thresh)
-        best_xy = jnp.where(take, xy_k, best_xy)
-        best_yy = jnp.where(take, yy_k, best_yy)
-        T = jnp.where(take, T1, T)
-        g = jnp.where(take, g1, g)
+                           jnp.maximum(0.4, 0.85 * g0[:, None] - cont),
+                           thresh)
+        take = active & (g1 > thresh)                      # [B, 14]
+        any_take = jnp.any(take, axis=1)
+        k_sel = jnp.argmax(jnp.where(take, kidx, -1), axis=1)  # last pass
+        sel = (kidx == k_sel[:, None]) & take              # one-hot or zero
+
+        def pick_f(v, fallback):
+            picked = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
+            return jnp.where(any_take, picked, fallback)
+
+        best_xy = pick_f(xy_k, xy)
+        best_yy = pick_f(yy_k, yy)
+        g = pick_f(g1, g0)
+        T = jnp.where(any_take,
+                      jnp.sum(jnp.where(sel, T1, 0), axis=1), T0)
 
     best_xy = jnp.maximum(0.0, best_xy)
     pg = jnp.where(best_yy <= best_xy, 1.0, best_xy / (best_yy + 1.0))
     pg = jnp.minimum(pg, g)
-    xc_m = lag_corr(jnp.clip(T - 1, 0, _MAXP2))
-    xc_0 = lag_corr(jnp.clip(T, 0, _MAXP2))
-    xc_p = lag_corr(jnp.clip(T + 1, 0, _MAXP2))
+    # the +-1 neighbourhood of T in one 3-hot... three separate one-hots
+    # (distinct clips can coincide; keep them separate and exact)
+    Tm = _MAXP2 - jnp.clip(T - 1, 0, _MAXP2)
+    Tz = _MAXP2 - jnp.clip(T, 0, _MAXP2)
+    Tp = _MAXP2 - jnp.clip(T + 1, 0, _MAXP2)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (block, 3, bx.shape[1]), 2)
+    tsel = jnp.stack([Tm, Tz, Tp], axis=1)                 # [B, 3]
+    mn = (iota_n == tsel[:, :, None]).astype(f32)
+    xcn = jnp.sum(mn * bx[:, None, :], axis=-1)            # [B, 3]
+    xc_m, xc_0, xc_p = xcn[:, 0], xcn[:, 1], xcn[:, 2]
     off2 = jnp.where((xc_p - xc_m) > 0.7 * (xc_0 - xc_m), 1,
                      jnp.where((xc_m - xc_p) > 0.7 * (xc_0 - xc_p),
                                -1, 0)).astype(jnp.int32)

@@ -104,3 +104,40 @@ def test_dryrun_multichip_driver_invocation():
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-4000:]
     assert "DRYRUN_OK" in res.stdout
+
+
+def test_monokernel_sharded_composition(mesh, model_params):
+    """The whole-frame monokernel composes with shard_map over the stream
+    axis: each device runs the kernel (interpret mode off-TPU) on its local
+    stream shard, matching the unsharded kernel bitwise.  This is the SPMD
+    shape of the production TPU path (per-device S_local blocks)."""
+    from jax.sharding import PartitionSpec as P
+    from rnnoise_tpu.denoise import init_state
+    from rnnoise_tpu.dsp import pallas_frame as pf
+    from rnnoise_tpu.dsp import pallas_spectral as ps
+    from rnnoise_tpu.nn.pallas_rnn import pack_params
+
+    S, T, block = 16, 3, 2
+    rng = np.random.default_rng(7)
+    pcm = jnp.asarray(
+        2000 * rng.standard_normal((T, S, FRAME_SIZE)), jnp.float32)
+    weights = pack_params(model_params)
+    state = init_state(S)._replace(
+        delayed_X=jnp.zeros((S, 2 * ps.PERM_WIDTH)),
+        delayed_P=jnp.zeros((S, 2 * ps.PERM_WIDTH)))
+
+    run_local = lambda st, x: pf.process_chunk_monokernel(
+        st, x, weights, block=block, interpret=True)
+    sharded = jax.shard_map(
+        run_local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("streams"), state),
+                  P(None, "streams", None)),
+        out_specs=(jax.tree.map(lambda _: P("streams"), state),
+                   P(None, "streams", None), P(None, "streams")),
+        # pallas_call out_shapes carry no vma annotation
+        check_vma=False)
+    st_s, out_s, vad_s = sharded(state, pcm)
+    st_u, out_u, vad_u = run_local(state, pcm)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
+    np.testing.assert_array_equal(np.asarray(vad_s), np.asarray(vad_u))
+    assert len(out_s.sharding.device_set) == 8
