@@ -40,14 +40,24 @@ def speechlike(rng, n, f0=110.0, fs=48000.0, noise=0.05):
 
 
 def run(mode, params, pcm, rt):
+    from rnnoise_tpu import denoise
     from rnnoise_tpu.dsp import pallas_spectral
-    transform.set_dft_precision(mode)
     # "x3" = the production TPU fast path incl. the fused Pallas kernels;
-    # "f32" = the exact reference formulation (XLA ops, six-pass f32 dots).
-    pallas_spectral.set_fused("auto" if mode == "x3" else "off")
-    state = init_state(pcm.shape[0])
-    fn = jax.jit(lambda st, x: process_frames(params, st, x, rt))
-    st, out, vad = fn(state, pcm)
+    # "f32" = the exact reference formulation (XLA ops, six-pass f32 dots);
+    # "mono" = the whole-frame monokernel (T-grid pallas) on the x3 consts.
+    transform.set_dft_precision("f32" if mode == "f32" else "x3")
+    pallas_spectral.set_fused("off" if mode == "f32" else "auto")
+    denoise.set_monokernel("on" if mode == "mono" else "off")
+    try:
+        state = init_state(pcm.shape[0])
+        if mode == "mono":
+            assert denoise._monokernel_viable(
+                params, state, pcm.shape[0], rt), \
+                "monokernel dispatch would not engage — fix the config"
+        fn = jax.jit(lambda st, x: process_frames(params, st, x, rt))
+        st, out, vad = fn(state, pcm)
+    finally:
+        denoise.set_monokernel("off")
     return np.asarray(out), np.asarray(vad)
 
 
@@ -59,7 +69,7 @@ def main():
     params = _demo_params()
     rt = RuntimeConfig(quantized=True)
     rng = np.random.default_rng(7)
-    S, T = 16, 150
+    S, T = 128, 150          # S=128: smallest monokernel-viable stream count
     pcm = np.stack([
         speechlike(np.random.default_rng(i), T * FRAME_SIZE).reshape(
             T, FRAME_SIZE) +
@@ -72,6 +82,7 @@ def main():
     try:
         out_x3, vad_x3 = run("x3", params, pcm, rt)
         out_f32, vad_f32 = run("f32", params, pcm, rt)
+        out_m, vad_m = run("mono", params, pcm, rt)
     finally:
         transform.set_dft_precision("auto")
         pallas_spectral.set_fused("auto")
@@ -81,7 +92,13 @@ def main():
     print(f"PCM max delta: {pcm_delta:.4f} LSB (budget: 4 from C parity; "
           f"gate: < 2.0)")
     print(f"VAD max delta: {vad_delta:.2e} (gate: < 1e-4)")
-    ok = pcm_delta < 2.0 and vad_delta < 1e-4
+    # monokernel vs exact f32, same gates
+    pcm_delta_m = np.abs(out_m - out_f32).max()
+    vad_delta_m = np.abs(vad_m - vad_f32).max()
+    print(f"mono PCM max delta: {pcm_delta_m:.4f} LSB (gate: < 2.0)")
+    print(f"mono VAD max delta: {vad_delta_m:.2e} (gate: < 1e-4)")
+    ok = (pcm_delta < 2.0 and vad_delta < 1e-4
+          and pcm_delta_m < 2.0 and vad_delta_m < 1e-4)
     print("OK" if ok else "FAIL")
     return 0 if ok else 1
 
