@@ -106,3 +106,23 @@ def test_monokernel_dispatch_cpu_fallback(model_params, rng):
         model_params, st, pcm, rt)
     np.testing.assert_array_equal(np.asarray(out_on), np.asarray(out_off))
     np.testing.assert_array_equal(np.asarray(vad_on), np.asarray(vad_off))
+
+
+def test_monokernel_i16_boundary_bitmatch(model_params, rng):
+    """int16 pcm in -> int16 out with in-kernel conversion must bit-match
+    the f32 kernel plus host-side rounding (the streamio ring contract:
+    round half away from zero, clip)."""
+    S, T = 16, 4
+    pcm = (2000 * rng.standard_normal((T, S, FRAME_SIZE))).astype(np.int16)
+    st = _permuted_state(S)
+    w = pack_params(model_params)
+    _, o_i16, v1 = pf.process_chunk_monokernel(
+        st, jnp.asarray(pcm), w, block=16, interpret=True)
+    assert o_i16.dtype == jnp.int16
+    _, o_f32, v2 = pf.process_chunk_monokernel(
+        st, jnp.asarray(pcm, jnp.float32), w, block=16, interpret=True)
+    r = np.trunc(np.where(np.asarray(o_f32) > 0, np.asarray(o_f32) + 0.5,
+                          np.asarray(o_f32) - 0.5))
+    np.testing.assert_array_equal(
+        np.asarray(o_i16), np.clip(r, -32768, 32767).astype(np.int16))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
