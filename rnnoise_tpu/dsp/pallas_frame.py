@@ -448,7 +448,7 @@ def _state_widths():
                 dExp=32)
 
 
-def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1):
+def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1, fps=1):
     """Grid (S_blocks, T), T sequential.  refs layout:
     [17 state-in] [pcm] [n_w weights] [n_c consts]
     [17 state-out] [out] [vad] [17 scratch].
@@ -486,29 +486,34 @@ def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1):
     else:
         consts = jax.tree.unflatten(treedef, [r[:] for r in c_refs])
         weights = tuple(r[:] for r in w_refs)
-    if split == 1:
-        new, out, vad = frame_body(st, pcm_ref[0], weights, consts, block)
-    else:
+    def one_frame(st, pcm):
+        if split == 1:
+            return frame_body(st, pcm, weights, consts, block)
         sub = block // split
         parts = []
         for i in range(split):
             st_i = FrameState(*[a[i * sub:(i + 1) * sub] for a in st])
-            parts.append(frame_body(st_i, pcm_ref[0][i * sub:(i + 1) * sub],
+            parts.append(frame_body(st_i, pcm[i * sub:(i + 1) * sub],
                                     weights, consts, sub))
         new = FrameState(*[jnp.concatenate(rows, axis=0)
                            for rows in zip(*[p[0] for p in parts])])
-        out = jnp.concatenate([p[1] for p in parts], axis=0)
-        vad = jnp.concatenate([p[2] for p in parts], axis=0)
-    for s, v in zip(scratch, new):
+        return (new, jnp.concatenate([p[1] for p in parts], axis=0),
+                jnp.concatenate([p[2] for p in parts], axis=0))
+
+    # fps frames advance per grid step: state stays in registers between
+    # them, so scratch r/w and pipeline sync amortise over fps frames
+    for f in range(fps):
+        st, out, vad = one_frame(st, pcm_ref[f])
+        if out_ref.dtype == jnp.int16:
+            # round half away from zero + clip: bit-identical to the native
+            # ring's float path (streamio.cc Ring::push_f32) and to
+            # denoise.process_frames_tm_i16
+            rounded = jnp.trunc(jnp.where(out > 0, out + 0.5, out - 0.5))
+            out = jnp.clip(rounded, -32768.0, 32767.0).astype(jnp.int16)
+        out_ref[f] = out
+        vad_ref[f] = vad
+    for s, v in zip(scratch, st):
         s[:] = v
-    if out_ref.dtype == jnp.int16:
-        # round half away from zero + clip: bit-identical to the native
-        # ring's float path (streamio.cc Ring::push_f32) and to
-        # denoise.process_frames_tm_i16
-        rounded = jnp.trunc(jnp.where(out > 0, out + 0.5, out - 0.5))
-        out = jnp.clip(rounded, -32768.0, 32767.0).astype(jnp.int16)
-    out_ref[0] = out
-    vad_ref[0] = vad
 
     @pl.when(t == n_t - 1)
     def _():
@@ -525,7 +530,7 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 def process_chunk_monokernel(state, pcm_tm, packed_weights,
                              block: int = 384, interpret: bool = False,
-                             split: int = 1):
+                             split: int = 1, frames_per_step: int = 1):
     """The whole-chunk monokernel: denoise state (permuted widths) + pcm
     [T, S, 480] f32 -> (new state, out [T, S, 480], vad [T, S]).
 
@@ -550,13 +555,15 @@ def process_chunk_monokernel(state, pcm_tm, packed_weights,
     wlist = [widths[f] for f in FrameState._fields]
 
     assert S % block == 0, (S, block)
-    grid = (S // block, T)
+    fps = frames_per_step
+    assert T % fps == 0, (T, fps)
+    grid = (S // block, T // fps)
 
     def state_spec(w):
         return pl.BlockSpec((block, w), lambda i, t: (i, 0))
 
     def seq_spec(w):
-        return pl.BlockSpec((1, block, w), lambda i, t: (t, i, 0))
+        return pl.BlockSpec((fps, block, w), lambda i, t: (t, i, 0))
 
     def const_spec(a):
         a = np.asarray(a)
@@ -576,8 +583,8 @@ def process_chunk_monokernel(state, pcm_tm, packed_weights,
 
     outs = pl.pallas_call(
         functools.partial(_frame_kernel, treedef=treedef,
-                          n_w=len(weights), n_c=len(leaves), n_t=T,
-                          block=block, split=split),
+                          n_w=len(weights), n_c=len(leaves), n_t=T // fps,
+                          block=block, split=split, fps=fps),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
