@@ -126,3 +126,21 @@ def test_monokernel_i16_boundary_bitmatch(model_params, rng):
     np.testing.assert_array_equal(
         np.asarray(o_i16), np.clip(r, -32768, 32767).astype(np.int16))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_monokernel_frames_per_step_bitwise(model_params, rng):
+    """frames_per_step=2 (two frames advanced per grid step, state held in
+    registers between them) is bitwise identical to the one-frame grid."""
+    import jax
+    S, T = 16, 4
+    pcm = jnp.asarray(2000 * rng.standard_normal((T, S, FRAME_SIZE)),
+                      jnp.float32)
+    st = _permuted_state(S)
+    w = pack_params(model_params)
+    a = pf.process_chunk_monokernel(st, pcm, w, block=16, interpret=True)
+    b = pf.process_chunk_monokernel(st, pcm, w, block=16, interpret=True,
+                                    frames_per_step=2)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), a[0], b[0])
