@@ -107,14 +107,20 @@ def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
     (T0_out [B] int32, pg [B]) — shared by the analysis kernel and the
     whole-frame monokernel (pallas_frame)."""
     f32 = jnp.float32
-    (ftc0, fts0, ftc1, fts1, ftc2, fts2,
-     itc0, its0, itc1, its1, itc2, its2,
-     mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl) = c1024
+    if len(c1024) != 6:
+        (ftc0, fts0, ftc1, fts1, ftc2, fts2,
+         itc0, its0, itc1, its1, itc2, its2,
+         mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl) = c1024
 
     # ---- fine lag table bx[u], lag = u (bx[u] = corr at lag u) ------------
     if "finetable" in _ABLATE:
         bx = jnp.concatenate(
             [ds[:, :_NLAGS - 1] * 1e-3, ds[:, :1]], axis=1)
+    elif len(c1024) == 6:
+        # direct-matmul correlation consts (pallas_xcorr._direct_corr):
+        # all-MXU, zero butterflies — see _direct_corr_consts rationale
+        from .pallas_xcorr import _direct_corr
+        bx = _direct_corr(ds[:, _X_OFF:], ds, c1024)
     else:
         z_x = jnp.zeros((block, _N - (_DS_LEN - _X_OFF)), f32)
         z_y = jnp.zeros((block, _N - _DS_LEN), f32)

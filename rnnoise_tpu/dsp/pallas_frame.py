@@ -41,7 +41,14 @@ from .pallas_analysis import _box_matrix, _pitch_body
 from .pallas_spectral import (PERM_WIDTH, _bf16_split, _dif_forward,
                               _fwd_consts, _inv_consts, _post_consts,
                               _take_window_vmem)
-from .pallas_xcorr import _xcorr_consts
+from .pallas_xcorr import _direct_corr_consts, _xcorr_consts
+
+# Correlation formulation for the pitch chain inside the monokernel:
+# True = direct X3 matmul correlation (_direct_corr, all-MXU, ~6e-6 rel);
+# False = the factored 3-level DIF machinery (~1e-6 rel, more VPU).  Both
+# are in the ranking-tolerance class; frame_consts() is lru_cached, so flip
+# only before first use (tests clear the cache explicitly).
+_DIRECT_CORR = True
 
 _MAXP2 = pitch_mod._MAXP2
 _N2 = pitch_mod._N2
@@ -106,8 +113,12 @@ def frame_consts() -> FrameConsts:
         bq_K=K.T.copy(), bq_rowA=rowA.T.copy(), bq_SA=SA.T.copy(), bq_SB=SB,
         sel_even=sel_even,
         box387=box387.astype(np.dtype("bfloat16")),
-        c512=_coarse512_consts(),
-        c1024=_xcorr_consts(), box864=_box_matrix(),
+        c512=(_direct_corr_consts(512, _LEN4, _Y4_LEN, _NL4)
+              if _DIRECT_CORR else _coarse512_consts()),
+        c1024=(_direct_corr_consts(1024, pitch_mod._N2, pitch_mod._DS_LEN,
+                                   pitch_mod._MAXP2 + 1)
+               if _DIRECT_CORR else tuple(_xcorr_consts())),
+        box864=_box_matrix(),
         win=win, tws9=tws9, leaf9=leaf_c + leaf_r,
         band_p=np.ascontiguousarray(
             _band_matrix_for(PERM_WIDTH).T.astype(np.float32)),
@@ -236,25 +247,29 @@ def _coarse_body(x_lp, sel_even, box387, c512, block):
     e = _sel_dot(x_lp, sel_even)                   # [B, 432] even samples
     x4 = e[:, pitch_mod._X_OFF // 2:pitch_mod._X_OFF // 2 + _LEN4]
     y4 = e[:, :_Y4_LEN]
-    (ftc0, fts0, ftc1, fts1, ftc2, fts2,
-     itc0, its0, itc1, its1, itc2, its2,
-     mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl) = c512
     B = x_lp.shape[0]
-    xpad = jnp.concatenate(
-        [x4, jnp.zeros((B, 512 - _LEN4), jnp.float32)], axis=1)
-    ypad = jnp.concatenate(
-        [y4, jnp.zeros((B, 512 - _Y4_LEN), jnp.float32)], axis=1)
-    ftws = [(ftc0, fts0), (ftc1, fts1), (ftc2, fts2)]
-    itws = [(itc0, its0), (itc1, its1), (itc2, its2)]
-    # batched paired forward (see _pitch_body): bitwise-equal, half the ops
-    r2, i2 = _dif_forward_1024(
-        jnp.concatenate([xpad, ypad], axis=0), ftws, mch, mcl, mrh, mrl)
-    xr, xi = r2[:B], i2[:B]
-    yr, yi = r2[B:], i2[B:]
-    cr = xr * yr + xi * yi                         # conj(X) * Y
-    ci = xr * yi - xi * yr
-    corr = _dif_inverse_1024(cr, ci, Ah, Al, B0h, B0l, Bjh, Bjl, itws)
-    xc4 = corr[:, :_NL4]                           # [B, 147]
+    if len(c512) == 6:
+        from .pallas_xcorr import _direct_corr
+        xc4 = _direct_corr(x4, y4, c512)           # [B, 147]
+    else:
+        (ftc0, fts0, ftc1, fts1, ftc2, fts2,
+         itc0, its0, itc1, its1, itc2, its2,
+         mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl) = c512
+        xpad = jnp.concatenate(
+            [x4, jnp.zeros((B, 512 - _LEN4), jnp.float32)], axis=1)
+        ypad = jnp.concatenate(
+            [y4, jnp.zeros((B, 512 - _Y4_LEN), jnp.float32)], axis=1)
+        ftws = [(ftc0, fts0), (ftc1, fts1), (ftc2, fts2)]
+        itws = [(itc0, its0), (itc1, its1), (itc2, its2)]
+        # batched paired forward: bitwise-equal spectra, half the ops
+        r2, i2 = _dif_forward_1024(
+            jnp.concatenate([xpad, ypad], axis=0), ftws, mch, mcl, mrh, mrl)
+        xr, xi = r2[:B], i2[:B]
+        yr, yi = r2[B:], i2[B:]
+        cr = xr * yr + xi * yi                     # conj(X) * Y
+        ci = xr * yi - xi * yr
+        corr = _dif_inverse_1024(cr, ci, Ah, Al, B0h, B0l, Bjh, Bjl, itws)
+        xc4 = corr[:, :_NL4]                       # [B, 147]
     y2 = y4 * y4
     y2h = y2.astype(jnp.bfloat16)
     y2l = (y2 - y2h.astype(jnp.float32)).astype(jnp.bfloat16)

@@ -174,3 +174,64 @@ def lag_corr_table_pallas(ds: jax.Array, block: int = 256,
         interpret=interpret,
     )(ds, *[jnp.asarray(a) for a in consts])
     return bx[:S]
+
+
+# ---------------------------------------------------------------------------
+# direct (un-factored) correlation: all-MXU, zero butterfly/layout ops
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _direct_corr_consts(n: int, x_len: int, y_len: int, nlags: int):
+    """Constant matrices for corr[u] = sum_j x[j] * y[u + j] via the
+    correlation theorem with DIRECT DFT matmuls (no factorization):
+
+        spec = sig @ F          F [len, 2*(n//2+1)] = [cos | sin] columns
+        C    = conj(X) * Y      (4 elementwise ops on n//2+1 bins)
+        corr = [Cr | Ci] @ A    A [2*(n//2+1), nlags] real-inverse columns
+                                (conjugate symmetry + 1/n folded in)
+
+    Rationale (v5e, r3): the factored 3-level DIF spends ~40% of the pitch
+    span in VPU butterflies and layout concats; the direct form is 9 bf16-X3
+    matmuls and 4 VPU multiplies total, and zero-pad rows are simply absent
+    from F (exact).  Numerics: same ~1e-6 class as the factored X3 path
+    (f32 MXU accumulation of bf16-split products), i.e. inside the ranking
+    tolerance the parity suite budgets for.  Returns bf16 hi/lo pairs."""
+    nb = n // 2 + 1
+    k = np.arange(nb)
+
+    def fwd(length):
+        j = np.arange(length)[:, None]
+        ang = -2.0 * np.pi * (j * k) / n
+        F = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)
+        return _bf16_split(F.astype(np.float32))
+
+    u = np.arange(nlags)[None, :]
+    angu = 2.0 * np.pi * (k[:, None] * u) / n        # inverse sign
+    w = np.full((nb, 1), 2.0 / n)
+    w[0, 0] = 1.0 / n
+    if n % 2 == 0:
+        w[-1, 0] = 1.0 / n
+    # corr[u] = sum_k w_k * (Cr_k cos(2pi k u / n) - Ci_k sin(2pi k u / n));
+    # C = conj(X) Y so Ci enters with +sin(angu)... derive: taking
+    # corr = (1/n) sum_{k=0}^{n-1} C_k e^{+2pi i k u / n} real part with
+    # conjugate symmetry folded into doubled weights:
+    A = np.concatenate([w * np.cos(angu), -w * np.sin(angu)], axis=0)
+    Ah, Al = _bf16_split(A.astype(np.float32))
+    (Fxh, Fxl) = fwd(x_len)
+    (Fyh, Fyl) = fwd(y_len)
+    return Fxh, Fxl, Fyh, Fyl, Ah, Al
+
+
+def _direct_corr(x, y, consts):
+    """x [B, x_len], y [B, y_len] -> corr [B, nlags] with
+    corr[u] = sum_j x[j] * y[u + j] (zero-extended).  consts from
+    _direct_corr_consts (pass jnp arrays inside pallas bodies)."""
+    Fxh, Fxl, Fyh, Fyl, Ah, Al = consts
+    nb = Fxh.shape[1] // 2
+    xs = _x3_dot(x, Fxh, Fxl)
+    ys = _x3_dot(y, Fyh, Fyl)
+    xr, xi = xs[:, :nb], xs[:, nb:]
+    yr, yi = ys[:, :nb], ys[:, nb:]
+    cr = xr * yr + xi * yi                            # conj(X) * Y
+    ci = xr * yi - xi * yr
+    return _x3_dot(jnp.concatenate([cr, ci], axis=1), Ah, Al)
