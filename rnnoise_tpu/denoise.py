@@ -74,6 +74,7 @@ def _spec_width() -> int:
 # ms/frame) — flip to "auto" when it wins.
 _MONOKERNEL = "off"
 _MONO_BLOCKS = (384, 256, 128)
+_MONO_FPS = 1                 # frames per grid step (see pallas_frame)
 
 
 def set_monokernel(mode: str) -> None:
@@ -422,8 +423,10 @@ def process_frames_tm(params: Optional[ModelParams], state: DenoiseState,
     # round 3 once the monokernel superseded the idea.
     if _monokernel_viable(params, state, pcm.shape[1], rt):
         from .dsp.pallas_frame import process_chunk_monokernel
+        fps = _MONO_FPS if pcm.shape[0] % _MONO_FPS == 0 else 1
         return process_chunk_monokernel(state, pcm, _packed_weights(params),
-                                        block=_mono_block(pcm.shape[1]))
+                                        block=_mono_block(pcm.shape[1]),
+                                        frames_per_step=fps)
 
     def step(st, frame):
         st, out, vad = process_frame(params, st, frame, rt)
@@ -465,9 +468,11 @@ def process_frames_tm_i16(params: Optional[ModelParams], state: DenoiseState,
     if _monokernel_viable(params, state, pcm.shape[1], rt):
         # conversions move INSIDE the kernel: int16 pcm in, int16 out
         from .dsp.pallas_frame import process_chunk_monokernel
+        fps = _MONO_FPS if pcm.shape[0] % _MONO_FPS == 0 else 1
         return process_chunk_monokernel(state, pcm.astype(jnp.int16),
                                         _packed_weights(params),
-                                        block=_mono_block(pcm.shape[1]))
+                                        block=_mono_block(pcm.shape[1]),
+                                        frames_per_step=fps)
     state, out, vad = process_frames_tm(params, state,
                                         pcm.astype(jnp.float32), rt)
     rounded = jnp.trunc(jnp.where(out > 0, out + 0.5, out - 0.5))
