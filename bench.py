@@ -44,11 +44,20 @@ def main():
     best = 0.0
     best_cfg = None
     best_spread = {}
+    best_path = "scan"
     # S sweep measured r2: throughput peaks at S=3072 — the scoped-VMEM
     # residency knee (S(1) buffers; see CLAUDE.md).  4096 is ~6% worse,
     # 8192 ~15%/stream worse; keep 4096 so large-S regressions stay visible.
-    for S in (2048, 3072, 4096):
+    # Each (S, path) config goes through the same process_frames_tm dispatch;
+    # "monokernel" rows flip denoise.set_monokernel("on") (TPU only) so the
+    # bench certifies the exact shipping dispatch of whichever path wins.
+    from rnnoise_tpu import denoise as _dn
+    configs = [(S, "scan") for S in (2048, 3072, 4096)]
+    if dev.platform == "tpu":
+        configs += [(S, "monokernel") for S in (3072, 4096)]
+    for S, path in configs:
         try:
+            _dn.set_monokernel("on" if path == "monokernel" else "off")
             state = init_state(S)
             pcm = jnp.asarray(
                 3000 * rng.standard_normal((T, S, FRAME_SIZE)), jnp.float32)
@@ -88,28 +97,33 @@ def main():
 
             audio_seconds = T * FRAME_SIZE / 48000.0
             streams_rt = S * audio_seconds / elapsed
-            log(f"S={S}: median {elapsed*1e3:8.1f} ms over {len(times)} runs "
+            log(f"S={S} [{path}]: median {elapsed*1e3:8.1f} ms over "
+                f"{len(times)} runs "
                 f"(min {min(times)*1e3:.1f} / max {max(times)*1e3:.1f}) "
                 f"/ {audio_seconds:.1f} s audio "
                 f"-> {streams_rt:9.0f} realtime streams "
                 f"(first call {compile_and_first:.1f} s)")
             if streams_rt > best:
-                best, best_cfg = streams_rt, (S, T)
+                best, best_cfg, best_path = streams_rt, (S, T), path
                 best_spread = {
                     "n_runs": len(times),
                     "streams_min": round(S * audio_seconds / max(times), 1),
                     "streams_max": round(S * audio_seconds / min(times), 1),
                 }
         except Exception as e:  # noqa: BLE001 — report partial results
-            log(f"S={S}: failed: {e}")
-            break
+            log(f"S={S} [{path}]: failed: {e}")
+            if path == "scan":
+                break
+        finally:
+            _dn.set_monokernel("off")
 
-    log(f"best: {best:.0f} streams at S={best_cfg}")
+    log(f"best: {best:.0f} streams at S={best_cfg} [{best_path}]")
     print(json.dumps({
         "metric": "realtime_streams_per_chip",
         "value": round(best, 1),
         "unit": "streams",
         "vs_baseline": round(best / 50000.0, 4),
+        "path": best_path,
         **best_spread,
     }))
 

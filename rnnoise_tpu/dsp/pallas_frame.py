@@ -113,9 +113,15 @@ def frame_consts() -> FrameConsts:
         bq_K=K.T.copy(), bq_rowA=rowA.T.copy(), bq_SA=SA.T.copy(), bq_SB=SB,
         sel_even=sel_even,
         box387=box387.astype(np.dtype("bfloat16")),
-        c512=(_direct_corr_consts(512, _LEN4, _Y4_LEN, _NL4)
+        # Direct-DFT n has no radix constraint — only n >= max index + 1
+        # (fine: 384+479 = 863; coarse: 146+239 = 385, no circular wrap).
+        # Pick n with n + 2 = 2*(n//2+1) an exact multiple of 128 so the
+        # spectrum width fills lane tiles: fine n=894 -> 896 lanes (n=1024
+        # pads 1026 -> 1152, +29% dead MXU columns), coarse n=510 -> 512
+        # (n=512 pads 514 -> 640).
+        c512=(_direct_corr_consts(510, _LEN4, _Y4_LEN, _NL4)
               if _DIRECT_CORR else _coarse512_consts()),
-        c1024=(_direct_corr_consts(1024, pitch_mod._N2, pitch_mod._DS_LEN,
+        c1024=(_direct_corr_consts(894, pitch_mod._N2, pitch_mod._DS_LEN,
                                    pitch_mod._MAXP2 + 1)
                if _DIRECT_CORR else tuple(_xcorr_consts())),
         box864=_box_matrix(),
