@@ -111,7 +111,12 @@ def _packed_weights(params):
     hit = _PACKED_CACHE.get(key)
     if hit is None or hit[0] is not params:
         from .nn.pallas_rnn import pack_params
-        _PACKED_CACHE[key] = hit = (params, pack_params(params))
+        # ensure_compile_time_eval: when the first call happens inside a jit
+        # trace (bench.py jits the whole dispatch), packing must still run
+        # eagerly so the packed weights are concrete constants — pallas_call
+        # BlockSpecs need their shapes, and re-packing per call would retrace.
+        with jax.ensure_compile_time_eval():
+            _PACKED_CACHE[key] = hit = (params, pack_params(params))
     return hit[1]
 
 

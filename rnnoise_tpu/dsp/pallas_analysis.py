@@ -101,13 +101,16 @@ _ABLATE: frozenset = frozenset()
 
 
 def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
-                c1024, box_w, block):
+                c1024, box_w, block, bx=None, box=None):
     """Value-level fine-pitch span: ds [B, 864] whitened, coarse candidates
     bp0/bp1 [B], previous period (48 kHz units) / gain [B].  Returns
     (T0_out [B] int32, pg [B]) — shared by the analysis kernel and the
-    whole-frame monokernel (pallas_frame)."""
+    whole-frame monokernel (pallas_frame).  ``bx``/``box`` may be passed in
+    precomputed (pallas_frame's shared-spectra path computes the fine table
+    and the combined fine+coarse energies itself); otherwise they are built
+    here from ``c1024``/``box_w``."""
     f32 = jnp.float32
-    if len(c1024) != 6:
+    if bx is None and len(c1024) != 6:
         (ftc0, fts0, ftc1, fts1, ftc2, fts2,
          itc0, its0, itc1, its1, itc2, its2,
          mch, mcl, mrh, mrl, Ah, Al, B0h, B0l, Bjh, Bjl) = c1024
@@ -116,6 +119,8 @@ def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
     if "finetable" in _ABLATE:
         bx = jnp.concatenate(
             [ds[:, :_NLAGS - 1] * 1e-3, ds[:, :1]], axis=1)
+    elif bx is not None:
+        pass
     elif len(c1024) == 6:
         # direct-matmul correlation consts (pallas_xcorr._direct_corr):
         # all-MXU, zero butterflies — see _direct_corr_consts rationale
@@ -140,11 +145,12 @@ def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
         bx = corr[:, :_NLAGS]                   # [B, 385]; bx[u] = lag u
 
     # ---- sliding 480-tap energies: one banded matmul ----------------------
-    d2 = ds * ds
-    d2h = d2.astype(jnp.bfloat16)
-    d2l = (d2 - d2h.astype(f32)).astype(jnp.bfloat16)
-    box = (jnp.dot(d2h, box_w, preferred_element_type=f32)
-           + jnp.dot(d2l, box_w, preferred_element_type=f32))  # [B, 385]
+    if box is None:
+        d2 = ds * ds
+        d2h = d2.astype(jnp.bfloat16)
+        d2l = (d2 - d2h.astype(f32)).astype(jnp.bfloat16)
+        box = (jnp.dot(d2h, box_w, preferred_element_type=f32)
+               + jnp.dot(d2l, box_w, preferred_element_type=f32))  # [B, 385]
     yy_rev_fwd = jnp.maximum(0.0, box)          # energy at lag u
 
     # ---- fine search (pitch.pitch_search fine stage, ratio ranking) -------
@@ -244,7 +250,10 @@ def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
                            thresh)
         take = active & (g1 > thresh)                      # [B, 14]
         any_take = jnp.any(take, axis=1)
-        k_sel = jnp.argmax(jnp.where(take, kidx, -1), axis=1)  # last pass
+        # argmax over f32: Mosaic's reduce-index lowering rejects int32, and
+        # kidx in [0, 13] is exact in f32
+        k_sel = jnp.argmax(
+            jnp.where(take, kidx, -1).astype(f32), axis=1)  # last pass
         sel = (kidx == k_sel[:, None]) & take              # one-hot or zero
 
         def pick_f(v, fallback):

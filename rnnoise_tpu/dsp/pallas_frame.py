@@ -50,6 +50,19 @@ from .pallas_xcorr import _direct_corr_consts, _xcorr_consts
 # only before first use (tests clear the cache explicitly).
 _DIRECT_CORR = True
 
+# Derive the coarse (4x) correlation from the FINE n=894 spectra by radix-2
+# aliasing instead of its own forward DFTs: X4(k) = (X(k) + conj(X(447-k)))/2
+# is the 447-point DFT of the even-decimated signal, 447 >= 386 covers the
+# coarse linear correlation without wrap, and the truncation of y4 at 387
+# is immaterial (u + i <= 385 for every coarse lag u <= 146).  This removes
+# the even-selection matmul and both coarse forward DFTs (~2.3M of the pitch
+# span's ~9M X3 MACs/stream) for two lane flips and a few VPU adds.  The
+# coarse table's rounding changes class (~1e-5 vs ~6e-6) — same ranking
+# tolerance as the parity suite budgets; decisions validated on the stateful
+# chain (tests/test_monokernel.py::test_alias_coarse_decisions).  Requires
+# _DIRECT_CORR.  lru-cached consts: flip only before first use.
+_ALIAS_COARSE = False
+
 _MAXP2 = pitch_mod._MAXP2
 _N2 = pitch_mod._N2
 _NL4 = pitch_mod._MAX_PITCH // 4         # 147 coarse lags
@@ -74,12 +87,15 @@ class FrameConsts(NamedTuple):
     # (8+8+8 bits >= f32's 24) recombine without rounding, at full-rate
     # bf16 MXU passes instead of the 6-pass f32 path.)
     sel_even: np.ndarray     # [864, 432] bf16
-    # coarse search
-    box387: np.ndarray       # [387, 147] bf16 banded ones (240-long sums)
+    # coarse search (own-DFT path; () when the alias path is active)
+    box387: tuple            # ([387, 147] bf16 banded ones,) or ()
     c512: tuple              # factored DFT-512 consts (coarse correlation)
     # fine/doubling span
     c1024: tuple             # pallas_xcorr consts
-    box864: np.ndarray       # [864, 385] bf16
+    box864: tuple            # ([864, 385] bf16,) or ()
+    # alias-coarse path: (boxall [864, 532] bf16 h-only exact 0/1,
+    #                     A4h, A4l [448, 147]) or ()
+    alias: tuple
     # forward 960 DFT
     win: np.ndarray
     tws9: tuple
@@ -109,22 +125,29 @@ def frame_consts() -> FrameConsts:
     win, tws9, leaf_c, leaf_r = _fwd_consts()
     (ih, il), (bh, bl) = _post_consts()
     (Ah, Al), (B0h, B0l), (Bjh, Bjl), itws, iwin = _inv_consts()
+    alias = ()
+    coarse_own = (_direct_corr_consts(510, _LEN4, _Y4_LEN, _NL4)
+                  if _DIRECT_CORR else _coarse512_consts())
+    box864 = (_box_matrix(),)
+    if _ALIAS_COARSE and _DIRECT_CORR:
+        alias = _alias_coarse_consts()
+        coarse_own, box387, box864 = (), np.zeros((0,)), ()
     return FrameConsts(
         bq_K=K.T.copy(), bq_rowA=rowA.T.copy(), bq_SA=SA.T.copy(), bq_SB=SB,
         sel_even=sel_even,
-        box387=box387.astype(np.dtype("bfloat16")),
+        box387=(() if alias else (box387.astype(np.dtype("bfloat16")),)),
         # Direct-DFT n has no radix constraint — only n >= max index + 1
         # (fine: 384+479 = 863; coarse: 146+239 = 385, no circular wrap).
         # Pick n with n + 2 = 2*(n//2+1) an exact multiple of 128 so the
         # spectrum width fills lane tiles: fine n=894 -> 896 lanes (n=1024
         # pads 1026 -> 1152, +29% dead MXU columns), coarse n=510 -> 512
         # (n=512 pads 514 -> 640).
-        c512=(_direct_corr_consts(510, _LEN4, _Y4_LEN, _NL4)
-              if _DIRECT_CORR else _coarse512_consts()),
+        c512=coarse_own,
         c1024=(_direct_corr_consts(894, pitch_mod._N2, pitch_mod._DS_LEN,
                                    pitch_mod._MAXP2 + 1)
                if _DIRECT_CORR else tuple(_xcorr_consts())),
-        box864=_box_matrix(),
+        box864=box864,
+        alias=alias,
         win=win, tws9=tws9, leaf9=leaf_c + leaf_r,
         band_p=np.ascontiguousarray(
             _band_matrix_for(PERM_WIDTH).T.astype(np.float32)),
@@ -155,8 +178,10 @@ def _sel_dot(x, sel):
 
 # Perf-ablation switches (cost attribution inside the monokernel, used by
 # the profiling scripts only — production always runs with the empty set):
-# members of {"biquad", "features"} skip that stage with shape-compatible
-# stand-ins.
+# members of {"biquad", "features", "ds", "ds_sm", "ds_sel", "ds_lpc",
+# "ds_fir", "coarse", "pitch", "take_window", "nn", "post", "fwd"} skip
+# that stage with shape-compatible stand-ins so the compiler drops its
+# compute; full-minus-ablated deltas attribute the frame cost per stage.
 _ABLATE: frozenset = frozenset()
 _SKIP_CONST_READ = False      # profiling only (see _frame_kernel)
 
@@ -281,8 +306,87 @@ def _coarse_body(x_lp, sel_even, box387, c512, block):
     y2l = (y2 - y2h.astype(jnp.float32)).astype(jnp.bfloat16)
     box = (jnp.dot(y2h, box387, preferred_element_type=jnp.float32)
            + jnp.dot(y2l, box387, preferred_element_type=jnp.float32))
-    syy = jnp.maximum(1.0 + box, 1.0)
+    return _coarse_rank(xc4, box, block)
 
+
+@functools.lru_cache(maxsize=None)
+def _alias_coarse_consts():
+    """Consts for the alias-coarse path: one combined fine+coarse energy
+    matrix and the 447-point inverse-correlation matrix.
+
+    boxall [864, 532]: columns 0..384 are _box_matrix (fine 480-tap sliding
+    energies over d2 = ds^2); columns 385..531 are the coarse energies
+    box4[u] = sum_{i=u}^{u+239} ds[2i]^2 restated on d2's 864 rows (rows
+    2u..2u+478 step 2) — bitwise equal to the y4^2 @ box387 formulation
+    since d2 at even rows IS y4^2 and the extra contraction terms are exact
+    zeros.  Entries 0/1: exact in bf16, the X2 split lives on the d2 side.
+    """
+    box = np.zeros((pitch_mod._DS_LEN, _MAXP2 + 1 + _NL4), np.float32)
+    for u in range(_MAXP2 + 1):
+        box[u:u + _N2, u] = 1.0
+    for u in range(_NL4):
+        box[2 * u:2 * (u + _LEN4):2, _MAXP2 + 1 + u] = 1.0
+    n4 = 447                       # 894 // 2; odd, so no last-bin halving
+    nb4 = (n4 + 1) // 2            # 224 stored bins
+    k = np.arange(nb4)[:, None]
+    u = np.arange(_NL4)[None, :]
+    angu = 2.0 * np.pi * (k * u) / n4
+    w = np.full((nb4, 1), 2.0 / n4)
+    w[0, 0] = 1.0 / n4
+    A4 = np.concatenate([w * np.cos(angu), -w * np.sin(angu)], axis=0)
+    A4h, A4l = _bf16_split(A4.astype(np.float32))
+    return (box.astype(np.dtype("bfloat16")), A4h, A4l)
+
+
+def _pitch_chain_alias(ds, last_period, last_gain, c, block):
+    """The whole pitch chain on SHARED fine spectra (see _ALIAS_COARSE):
+    one forward-DFT pair at n=894 feeds both the coarse search (by radix-2
+    aliasing) and the fine 385-lag table; one combined banded matmul yields
+    both energy tables from a single d2 split.  Returns (T0 [B] i32, pg)."""
+    from .pallas_xcorr import _direct_corr_fwd, _direct_corr_inv
+    from .pallas_spectral import _x3_dot
+    f32 = jnp.float32
+    c1024 = tuple(jnp.asarray(a) for a in c.c1024)
+    boxall_w = jnp.asarray(c.alias[0])
+    A4h, A4l = jnp.asarray(c.alias[1]), jnp.asarray(c.alias[2])
+
+    xs, ys = _direct_corr_fwd(ds[:, pitch_mod._X_OFF:], ds, c1024)
+
+    d2 = ds * ds
+    d2h = d2.astype(jnp.bfloat16)
+    d2l = (d2 - d2h.astype(f32)).astype(jnp.bfloat16)
+    boxall = (jnp.dot(d2h, boxall_w, preferred_element_type=f32)
+              + jnp.dot(d2l, boxall_w, preferred_element_type=f32))
+    box385 = boxall[:, :_MAXP2 + 1]
+    box147 = boxall[:, _MAXP2 + 1:]
+
+    # coarse spectra by aliasing: X4(k) = (X(k) + conj(X(447-k))) / 2
+    nb = 448
+    half = 224
+
+    def alias(s):
+        r, i = s[:, :nb], s[:, nb:]
+        rT = jnp.flip(r[:, half:nb], axis=1)      # r[447-k], k = 0..223
+        iT = jnp.flip(i[:, half:nb], axis=1)
+        return 0.5 * (r[:, :half] + rT), 0.5 * (i[:, :half] - iT)
+
+    x4r, x4i = alias(xs)
+    y4r, y4i = alias(ys)
+    c4r = x4r * y4r + x4i * y4i                   # conj(X4) * Y4
+    c4i = x4r * y4i - x4i * y4r
+    xc4 = _x3_dot(jnp.concatenate([c4r, c4i], axis=1), A4h, A4l)
+    bp0, bp1 = _coarse_rank(xc4, box147, block)
+
+    bx = _direct_corr_inv(xs, ys, c1024)
+    return _pitch_body(ds, bp0, bp1, last_period, last_gain,
+                       (), None, block, bx=bx, box=box385)
+
+
+def _coarse_rank(xc4, box147, block):
+    """Coarse two-candidate ratio ranking (pitch.coarse_search semantics):
+    xc4 [B, 147] correlations, box147 [B, 147] sliding energies ->
+    (bp0, bp1) [B] int32."""
+    syy = jnp.maximum(1.0 + box147, 1.0)
     num = jnp.square(xc4 * 1e-12)
     mask = xc4 > 0
     q = jnp.where(mask, num / syy, -jnp.inf)
@@ -340,25 +444,48 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
     # ---- pitch buffer shift + downsample/whiten ---------------------------
     pitch_buf = jnp.concatenate([st.pitch_buf[:, FRAME_SIZE:], y], axis=-1)
     sel_even = jnp.asarray(c.sel_even)
-    ds = _downsample_body(pitch_buf, sel_even)
+    if "ds" in _ABLATE:
+        ds = pitch_buf[:, :pitch_mod._DS_LEN] * 0.5
+    else:
+        ds = _downsample_body(pitch_buf, sel_even)
 
     # ---- pitch chain ------------------------------------------------------
-    bp0, bp1 = _coarse_body(ds, sel_even, jnp.asarray(c.box387),
-                            tuple(jnp.asarray(a) for a in c.c512), block)
-    T0, gain = _pitch_body(ds, bp0, bp1, st.last_period[:, 0],
-                           st.last_gain[:, 0],
-                           tuple(jnp.asarray(a) for a in c.c1024),
-                           jnp.asarray(c.box864), block)
+    if "pitch" in _ABLATE:
+        T0 = jnp.full((block,), 300, jnp.int32)
+        gain = jnp.mean(ds, axis=-1) * 1e-6
+    elif c.alias:
+        T0, gain = _pitch_chain_alias(ds, st.last_period[:, 0],
+                                      st.last_gain[:, 0], c, block)
+    else:
+        if "coarse" in _ABLATE:
+            bp0 = jnp.zeros((block,), jnp.int32)
+            bp1 = jnp.ones((block,), jnp.int32)
+        else:
+            bp0, bp1 = _coarse_body(ds, sel_even, jnp.asarray(c.box387[0]),
+                                    tuple(jnp.asarray(a) for a in c.c512),
+                                    block)
+        T0, gain = _pitch_body(ds, bp0, bp1, st.last_period[:, 0],
+                               st.last_gain[:, 0],
+                               tuple(jnp.asarray(a) for a in c.c1024),
+                               jnp.asarray(c.box864[0]), block)
 
     # ---- window extraction + both forward DFT-960s ------------------------
     win = jnp.asarray(c.win)
     tws9 = [(jnp.asarray(a), jnp.asarray(b)) for a, b in c.tws9]
     leaf9 = [jnp.asarray(a) for a in c.leaf9]
     v = jnp.concatenate([st.analysis_mem, y], axis=1) * win
-    Xp = _dif_forward(v, tws9, *leaf9)
-    start = PITCH_BUF_SIZE - WINDOW_SIZE - T0
-    p = _take_window_vmem(pitch_buf, start, block)
-    Pp = _dif_forward(p * win, tws9, *leaf9)
+    if "take_window" in _ABLATE:
+        p = pitch_buf[:, :WINDOW_SIZE] + T0[:, None].astype(jnp.float32)
+    else:
+        start = PITCH_BUF_SIZE - WINDOW_SIZE - T0
+        p = _take_window_vmem(pitch_buf, start, block)
+    if "fwd" in _ABLATE:
+        zpad = jnp.zeros((block, 2 * PERM_WIDTH - WINDOW_SIZE), jnp.float32)
+        Xp = jnp.concatenate([v, zpad], axis=1)
+        Pp = jnp.concatenate([p * win, zpad], axis=1)
+    else:
+        Xp = _dif_forward(v, tws9, *leaf9)
+        Pp = _dif_forward(p * win, tws9, *leaf9)
 
     # ---- band energies + features (exact-f32 dots, permuted layout) -------
     band_p = jnp.asarray(c.band_p)
@@ -414,12 +541,27 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
     features = jnp.where(silence, 0.0, features)
 
     # ---- NN + silence freeze (pallas_rnn._rnn_body) -----------------------
-    from ..nn.pallas_rnn import _rnn_body
-    c1m, c2m, h1, h2, h3, g, vad = _rnn_body(
-        features, silence, st.c1m, st.c2m, st.h1, st.h2, st.h3,
-        *[jnp.asarray(w) for w in weights], gru_size=st.h1.shape[-1])
+    if "nn" in _ABLATE:
+        c1m, c2m, h1, h2, h3 = st.c1m, st.c2m, st.h1, st.h2, st.h3
+        g = 0.5 + 1e-6 * features[:, :NB_BANDS]
+        vad = jnp.mean(features, axis=-1, keepdims=True) * 1e-6
+    else:
+        from ..nn.pallas_rnn import _rnn_body
+        c1m, c2m, h1, h2, h3, g, vad = _rnn_body(
+            features, silence, st.c1m, st.c2m, st.h1, st.h2, st.h3,
+            *[jnp.asarray(w) for w in weights], gru_size=st.h1.shape[-1])
 
     # ---- post-filter + inverse DFT + OLA (pallas_spectral._post_body) -----
+    if "post" in _ABLATE:
+        out = y + g[:, :1] + vad
+        smem, lastg = st.synthesis_mem, st.lastg
+        new = FrameState(
+            mem_hp=mem_hp, pitch_buf=pitch_buf, analysis_mem=y,
+            synthesis_mem=smem, last_period=T0[:, None],
+            last_gain=gain[:, None], lastg=lastg,
+            c1m=c1m, c2m=c2m, h1=h1, h2=h2, h3=h3,
+            dX=Xp, dP=Pp, dEx=Ex, dEp=Ep, dExp=Exp)
+        return new, out, vad
     from .pallas_spectral import _post_body
     (ih, il), (bh, bl) = c.interp_hl, c.band_hl
     Ah, Al, B0h, B0l, Bjh, Bjl, itws, iwin = c.inv
@@ -587,8 +729,9 @@ def process_chunk_monokernel(state, pcm_tm, packed_weights,
         return pl.BlockSpec((fps, block, w), lambda i, t: (t, i, 0))
 
     def const_spec(a):
-        a = np.asarray(a)
-        return pl.BlockSpec(a.shape, lambda i, t: (0,) * a.ndim)
+        # shape-only: `a` may be a tracer (weights under an outer jit)
+        shape = tuple(a.shape)
+        return pl.BlockSpec(shape, lambda i, t: (0,) * len(shape))
 
     in_specs = ([state_spec(w) for w in wlist]
                 + [seq_spec(FRAME_SIZE)]

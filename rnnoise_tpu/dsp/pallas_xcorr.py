@@ -222,16 +222,26 @@ def _direct_corr_consts(n: int, x_len: int, y_len: int, nlags: int):
     return Fxh, Fxl, Fyh, Fyl, Ah, Al
 
 
-def _direct_corr(x, y, consts):
-    """x [B, x_len], y [B, y_len] -> corr [B, nlags] with
-    corr[u] = sum_j x[j] * y[u + j] (zero-extended).  consts from
-    _direct_corr_consts (pass jnp arrays inside pallas bodies)."""
+def _direct_corr_fwd(x, y, consts):
+    """The two forward spectra of :func:`_direct_corr`: ([B, 2*nb], [B, 2*nb])
+    re|im-concatenated."""
+    Fxh, Fxl, Fyh, Fyl, Ah, Al = consts
+    return _x3_dot(x, Fxh, Fxl), _x3_dot(y, Fyh, Fyl)
+
+
+def _direct_corr_inv(xs, ys, consts):
+    """conj(X) * Y -> inverse matmul: the back half of :func:`_direct_corr`."""
     Fxh, Fxl, Fyh, Fyl, Ah, Al = consts
     nb = Fxh.shape[1] // 2
-    xs = _x3_dot(x, Fxh, Fxl)
-    ys = _x3_dot(y, Fyh, Fyl)
     xr, xi = xs[:, :nb], xs[:, nb:]
     yr, yi = ys[:, :nb], ys[:, nb:]
     cr = xr * yr + xi * yi                            # conj(X) * Y
     ci = xr * yi - xi * yr
     return _x3_dot(jnp.concatenate([cr, ci], axis=1), Ah, Al)
+
+
+def _direct_corr(x, y, consts):
+    """x [B, x_len], y [B, y_len] -> corr [B, nlags] with
+    corr[u] = sum_j x[j] * y[u + j] (zero-extended).  consts from
+    _direct_corr_consts (pass jnp arrays inside pallas bodies)."""
+    return _direct_corr_inv(*_direct_corr_fwd(x, y, consts), consts)

@@ -23,12 +23,31 @@ def _permuted_state(n):
         delayed_P=jnp.zeros((n, 2 * ps.PERM_WIDTH)))
 
 
-def test_monokernel_oracle_parity_150_frames(oracle_int8, model_params, rng):
+import pytest
+
+
+@pytest.mark.parametrize("alias", [False, True])
+def test_monokernel_oracle_parity_150_frames(oracle_int8, model_params, rng,
+                                             alias):
     """The T-grid monokernel (grid-carried VMEM state, interpret mode) stays
     within the mainline oracle budget over 150 stateful frames dispatched as
     three 50-frame chunks — the chunk boundaries also pin the HBM state
     round trip between pallas calls.  Reference hot loop:
-    denoise.c:457-504 (rnnoise_process_frame)."""
+    denoise.c:457-504 (rnnoise_process_frame).  Parametrized over the
+    alias-coarse pitch formulation (pallas_frame._ALIAS_COARSE), holding
+    both correlation structures to the same oracle budget."""
+    if pf._ALIAS_COARSE != alias:
+        pf._ALIAS_COARSE = alias
+        pf.frame_consts.cache_clear()
+    try:
+        _run_oracle_parity(oracle_int8, model_params, rng)
+    finally:
+        if pf._ALIAS_COARSE:
+            pf._ALIAS_COARSE = False
+            pf.frame_consts.cache_clear()
+
+
+def _run_oracle_parity(oracle_int8, model_params, rng):
     n_frames = 150
     chunk = 50
     sig = _make_signal(rng, n_frames)
@@ -61,6 +80,44 @@ def test_monokernel_oracle_parity_150_frames(oracle_int8, model_params, rng):
     max_vad = np.abs(vad_j - vad_c).max()
     assert max_pcm < 4.0, f"PCM diverged: {max_pcm} LSB"
     assert max_vad < 2e-3, f"VAD diverged: {max_vad}"
+
+
+def test_alias_coarse_decisions(rng):
+    """The alias-coarse pitch chain (coarse table derived from the fine
+    n=894 spectra by radix-2 aliasing, combined energy matmul) reaches the
+    same (period, gain) decisions as the own-DFT coarse path on a seeded
+    batch of speech-like whitened buffers (knife-edge ranking tolerance:
+    this set must be mismatch-free; the stateful budget lives in the
+    parametrized oracle test)."""
+    import jax.numpy as jnp
+    B = 64
+    t = np.arange(864)
+    ds = np.stack([
+        (500 + 4000 * rng.random())
+        * np.sin(2 * np.pi * t / (20 + 160 * rng.random()) + rng.random() * 6)
+        + 300 * rng.standard_normal(864) for _ in range(B)]).astype(np.float32)
+    ds = jnp.asarray(ds)
+    lp = jnp.asarray(rng.integers(60, 700, B), np.int32)
+    lg = jnp.asarray(rng.random(B), jnp.float32)
+
+    assert not pf._ALIAS_COARSE
+    c0 = pf.frame_consts()
+    bp0, bp1 = pf._coarse_body(
+        ds, jnp.asarray(c0.sel_even), jnp.asarray(c0.box387[0]),
+        tuple(jnp.asarray(a) for a in c0.c512), B)
+    from rnnoise_tpu.dsp.pallas_analysis import _pitch_body
+    T0a, ga = _pitch_body(ds, bp0, bp1, lp, lg,
+                          tuple(jnp.asarray(a) for a in c0.c1024),
+                          jnp.asarray(c0.box864[0]), B)
+    pf._ALIAS_COARSE = True
+    pf.frame_consts.cache_clear()
+    try:
+        T0b, gb = pf._pitch_chain_alias(ds, lp, lg, pf.frame_consts(), B)
+    finally:
+        pf._ALIAS_COARSE = False
+        pf.frame_consts.cache_clear()
+    assert int((np.asarray(T0a) != np.asarray(T0b)).sum()) == 0
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
 
 
 def test_monokernel_multi_block_grid(model_params, rng):
@@ -126,6 +183,30 @@ def test_monokernel_i16_boundary_bitmatch(model_params, rng):
     np.testing.assert_array_equal(
         np.asarray(o_i16), np.clip(r, -32768, 32767).astype(np.int16))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_monokernel_dispatch_under_outer_jit_cold_cache(model_params, rng):
+    """bench.py jits the WHOLE dispatch (jax.jit over process_frames_tm) with
+    a cold weight-pack cache — packing must run at compile time and the
+    pallas BlockSpecs must come from shapes, not np.asarray, or the trace
+    crashes with TracerArrayConversionError (regression: round-3 bench
+    monokernel rows silently fell back on this)."""
+    import jax
+    from rnnoise_tpu import denoise
+
+    denoise._PACKED_CACHE.clear()
+    S, T = 16, 2
+    pcm = jnp.asarray(1000 * rng.standard_normal((T, S, FRAME_SIZE)),
+                      jnp.float32)
+    st = _permuted_state(S)
+
+    def f(st, x):
+        return pf.process_chunk_monokernel(
+            st, x, denoise._packed_weights(model_params), block=16,
+            interpret=True)
+
+    st2, out, vad = jax.jit(f)(st, pcm)
+    assert out.shape == (T, S, FRAME_SIZE)
 
 
 def test_monokernel_frames_per_step_bitwise(model_params, rng):
