@@ -459,6 +459,94 @@ void rnnt_pool_commit_tm_i16(StreamPool* p, int t_frames,
   });
 }
 
+// Strided raw-int16 time-major variants for multi-process fan-out
+// (runtime/fanout.py): K worker processes each own a StreamPool for a
+// contiguous range of the global slot axis and assemble/commit DIRECTLY
+// into the shared [T, S_total, 480] batch tensor.  `batch` is the base of
+// the full tensor, `total_slots` gives the T stride, and `slot_offset` is
+// this pool's first global slot.  frame_counts/reset_mask point at this
+// pool's own slices (length n_slots).
+void rnnt_pool_assemble_tm_i16_strided(StreamPool* p, int t_frames,
+                                       int16_t* batch, int64_t total_slots,
+                                       int64_t slot_offset,
+                                       int32_t* frame_counts,
+                                       uint8_t* reset_mask) {
+  const size_t stride = (size_t)total_slots * kFrameSize;
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    for (int s = b; s < e; s++) {
+      reset_mask[s] = p->needs_reset[s];
+      p->needs_reset[s] = 0;
+      int take = 0;
+      if (p->active[s]) {
+        size_t whole = p->in_rings[s].size / kFrameSize;
+        take = (whole >= (size_t)t_frames) ? t_frames : 0;
+      }
+      frame_counts[s] = take;
+      for (int t = 0; t < t_frames; t++) {
+        int16_t* dst = batch + (size_t)t * stride
+                       + (size_t)(slot_offset + s) * kFrameSize;
+        if (t < take)
+          p->in_rings[s].pop(dst, kFrameSize);
+        else
+          memset(dst, 0, kFrameSize * sizeof(int16_t));
+      }
+    }
+  });
+}
+
+void rnnt_pool_commit_tm_i16_strided(StreamPool* p, int t_frames,
+                                     const int16_t* batch,
+                                     int64_t total_slots, int64_t slot_offset,
+                                     const int32_t* frame_counts) {
+  const size_t stride = (size_t)total_slots * kFrameSize;
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    for (int s = b; s < e; s++) {
+      int take = frame_counts[s];
+      for (int t = 0; t < take; t++) {
+        const int16_t* src = batch + (size_t)t * stride
+                             + (size_t)(slot_offset + s) * kFrameSize;
+        p->out_rings[s].push(src, kFrameSize);
+      }
+    }
+  });
+}
+
+// Strided bulk ingest/drain against a [S_total, n_per_slot] int16 matrix:
+// this pool's slot s maps to global row slot_offset + s.
+int rnnt_pool_push_all_strided(StreamPool* p, const int16_t* pcm,
+                               int64_t n_per_slot, int64_t slot_offset) {
+  std::atomic<int> fed{0};
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    int local = 0;
+    for (int s = b; s < e; s++) {
+      if (!p->active[s]) continue;
+      p->in_rings[s].push(pcm + (size_t)(slot_offset + s) * n_per_slot,
+                          (size_t)n_per_slot);
+      local++;
+    }
+    fed.fetch_add(local);
+  });
+  return fed.load();
+}
+
+int rnnt_pool_pull_all_strided(StreamPool* p, int16_t* pcm,
+                               int64_t n_per_slot, int64_t slot_offset) {
+  std::atomic<int> full{0};
+  p->threads->parallel_for(p->n_slots, [&](int b, int e) {
+    int local = 0;
+    for (int s = b; s < e; s++) {
+      int16_t* dst = pcm + (size_t)(slot_offset + s) * n_per_slot;
+      size_t got = p->out_rings[s].pop(dst, (size_t)n_per_slot);
+      if (got < (size_t)n_per_slot)
+        memset(dst + got, 0, ((size_t)n_per_slot - got) * sizeof(int16_t));
+      else
+        local++;
+    }
+    full.fetch_add(local);
+  });
+  return full.load();
+}
+
 // ---------------------------------------------------------------------------
 // DNNw weight-blob validation (native port of parse_weights,
 // reference src/parse_lpcnet_weights.c:37-78).  Returns the number of arrays,

@@ -111,6 +111,12 @@ def _packed_weights(params):
     hit = _PACKED_CACHE.get(key)
     if hit is None or hit[0] is not params:
         from .nn.pallas_rnn import pack_params
+        if any(isinstance(leaf, jax.core.Tracer)
+               for leaf in jax.tree.leaves(params)):
+            raise TypeError(
+                "monokernel params must be concrete (close over them rather "
+                "than passing them as jit arguments): packing runs at trace "
+                "time and the result is cached by object identity")
         # ensure_compile_time_eval: when the first call happens inside a jit
         # trace (bench.py jits the whole dispatch), packing must still run
         # eagerly so the packed weights are concrete constants — pallas_call

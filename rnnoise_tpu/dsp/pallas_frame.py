@@ -63,6 +63,27 @@ _DIRECT_CORR = True
 # _DIRECT_CORR.  lru-cached consts: flip only before first use.
 _ALIAS_COARSE = False
 
+import contextlib
+
+
+@contextlib.contextmanager
+def alias_coarse(enabled: bool):
+    """Scoped flip of _ALIAS_COARSE with structural cache/flag restoration
+    (tests and bench sessions must not leak alias-mode consts into later
+    work in the same process)."""
+    global _ALIAS_COARSE
+    prev = _ALIAS_COARSE
+    if prev != enabled:
+        _ALIAS_COARSE = enabled
+        frame_consts.cache_clear()
+    try:
+        yield
+    finally:
+        if _ALIAS_COARSE != prev:
+            _ALIAS_COARSE = prev
+            frame_consts.cache_clear()
+
+
 _MAXP2 = pitch_mod._MAXP2
 _N2 = pitch_mod._N2
 _NL4 = pitch_mod._MAX_PITCH // 4         # 147 coarse lags
@@ -125,13 +146,18 @@ def frame_consts() -> FrameConsts:
     win, tws9, leaf_c, leaf_r = _fwd_consts()
     (ih, il), (bh, bl) = _post_consts()
     (Ah, Al), (B0h, B0l), (Bjh, Bjl), itws, iwin = _inv_consts()
+    if _ALIAS_COARSE and not _DIRECT_CORR:
+        # the alias derivation only exists on the direct-corr fine spectra;
+        # a silent fallback here would make a flag-flipping bench session
+        # measure the wrong formulation while believing alias is active
+        raise ValueError("_ALIAS_COARSE requires _DIRECT_CORR")
     alias = ()
     coarse_own = (_direct_corr_consts(510, _LEN4, _Y4_LEN, _NL4)
                   if _DIRECT_CORR else _coarse512_consts())
     box864 = (_box_matrix(),)
-    if _ALIAS_COARSE and _DIRECT_CORR:
+    if _ALIAS_COARSE:
         alias = _alias_coarse_consts()
-        coarse_own, box387, box864 = (), np.zeros((0,)), ()
+        coarse_own, box864 = (), ()
     return FrameConsts(
         bq_K=K.T.copy(), bq_rowA=rowA.T.copy(), bq_SA=SA.T.copy(), bq_SB=SB,
         sel_even=sel_even,

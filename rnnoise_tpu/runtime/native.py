@@ -68,6 +68,21 @@ def get_lib() -> ct.CDLL:
                                                   _i16p, _i32p, _u8p]
         lib.rnnt_pool_commit_tm_i16.argtypes = [ct.c_void_p, ct.c_int,
                                                 _i16p, _i32p]
+        # strided variants for the multi-process fan-out (runtime/fanout.py):
+        # each worker pool reads/writes its slot range of the SHARED global
+        # batch/io tensors directly (base pointer + total_slots stride +
+        # slot_offset), so assembly scales across host cores with zero
+        # gather/scatter copies in the parent.
+        lib.rnnt_pool_assemble_tm_i16_strided.argtypes = [
+            ct.c_void_p, ct.c_int, _i16p, ct.c_int64, ct.c_int64, _i32p, _u8p]
+        lib.rnnt_pool_commit_tm_i16_strided.argtypes = [
+            ct.c_void_p, ct.c_int, _i16p, ct.c_int64, ct.c_int64, _i32p]
+        lib.rnnt_pool_push_all_strided.restype = ct.c_int
+        lib.rnnt_pool_push_all_strided.argtypes = [ct.c_void_p, _i16p,
+                                                   ct.c_int64, ct.c_int64]
+        lib.rnnt_pool_pull_all_strided.restype = ct.c_int
+        lib.rnnt_pool_pull_all_strided.argtypes = [ct.c_void_p, _i16p,
+                                                   ct.c_int64, ct.c_int64]
         lib.rnnt_blob_validate.restype = ct.c_int
         lib.rnnt_blob_validate.argtypes = [ct.c_char_p, ct.c_int64,
                                            ct.c_char_p, ct.c_int64]

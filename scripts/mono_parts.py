@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Monokernel per-stage cost attribution via the _ABLATE gates
+(pallas_frame._ABLATE): each stage is skipped with shape-compatible
+stand-ins so the compiler drops its compute; full-minus-ablated deltas
+attribute the frame cost per stage.  Writes one JSON line so BENCH rounds
+can archive span movement (judge item r3/7).
+
+Usage: python scripts/mono_parts.py [S] [T] [block] [fps] [alias]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGES = ["biquad", "ds", "coarse", "pitch", "take_window", "fwd",
+          "features", "nn", "post"]
+ALL = frozenset(STAGES)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rnnoise_tpu.config import FRAME_SIZE
+    from rnnoise_tpu import denoise
+    from rnnoise_tpu.dsp import pallas_frame as pf
+    from __graft_entry__ import _demo_params
+
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 3072
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    block = int(sys.argv[3]) if len(sys.argv) > 3 else 384
+    fps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    alias = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+
+    params = _demo_params()
+    weights = denoise._packed_weights(params)
+    rng = np.random.default_rng(11)
+    pcm = jnp.asarray(3000 * rng.standard_normal((T, S, FRAME_SIZE)),
+                      jnp.float32)
+
+    def measure(ablate):
+        pf._ABLATE = ablate
+        state = denoise.init_state(S)
+
+        def run(st, x):
+            return pf.process_chunk_monokernel(st, x, weights, block=block,
+                                               frames_per_step=fps)
+
+        fn = jax.jit(run)
+        st, out, vad = fn(state, pcm)
+        jax.block_until_ready(out)
+        times = []
+        min_plausible = 1e-9 * S * T
+        for _ in range(5):
+            t0 = time.perf_counter()
+            st, out, vad = fn(st, pcm)
+            _ = float(jnp.sum(vad))          # host sync + relay cache buster
+            dt = time.perf_counter() - t0
+            if dt >= min_plausible:
+                times.append(dt)
+        return float(np.median(times)) / T * 1e3      # ms/frame
+
+    try:
+        with pf.alias_coarse(alias):
+            full = measure(frozenset())
+            print(f"full: {full:.3f} ms/frame "
+                  f"(S={S} T={T} block={block} fps={fps} alias={alias})",
+                  flush=True)
+            parts = {}
+            stages = [s for s in STAGES if not (alias and s == "coarse")]
+            for stage in stages:
+                m = measure(frozenset({stage}))
+                parts[stage] = round(full - m, 4)
+                print(f"  {stage:12s} {full - m:+.3f}  (ablated {m:.3f})",
+                      flush=True)
+            empty = measure(ALL)
+            parts["_plumbing_floor"] = round(empty, 4)
+            print(f"  empty body   {empty:.3f} (plumbing floor)", flush=True)
+    finally:
+        pf._ABLATE = frozenset()
+
+    print(json.dumps({"S": S, "T": T, "block": block, "fps": fps,
+                      "alias": alias, "full_ms_frame": round(full, 4),
+                      "parts": parts}))
+
+
+if __name__ == "__main__":
+    main()

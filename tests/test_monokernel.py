@@ -36,15 +36,8 @@ def test_monokernel_oracle_parity_150_frames(oracle_int8, model_params, rng,
     denoise.c:457-504 (rnnoise_process_frame).  Parametrized over the
     alias-coarse pitch formulation (pallas_frame._ALIAS_COARSE), holding
     both correlation structures to the same oracle budget."""
-    if pf._ALIAS_COARSE != alias:
-        pf._ALIAS_COARSE = alias
-        pf.frame_consts.cache_clear()
-    try:
+    with pf.alias_coarse(alias):
         _run_oracle_parity(oracle_int8, model_params, rng)
-    finally:
-        if pf._ALIAS_COARSE:
-            pf._ALIAS_COARSE = False
-            pf.frame_consts.cache_clear()
 
 
 def _run_oracle_parity(oracle_int8, model_params, rng):
@@ -109,13 +102,8 @@ def test_alias_coarse_decisions(rng):
     T0a, ga = _pitch_body(ds, bp0, bp1, lp, lg,
                           tuple(jnp.asarray(a) for a in c0.c1024),
                           jnp.asarray(c0.box864[0]), B)
-    pf._ALIAS_COARSE = True
-    pf.frame_consts.cache_clear()
-    try:
+    with pf.alias_coarse(True):
         T0b, gb = pf._pitch_chain_alias(ds, lp, lg, pf.frame_consts(), B)
-    finally:
-        pf._ALIAS_COARSE = False
-        pf.frame_consts.cache_clear()
     assert int((np.asarray(T0a) != np.asarray(T0b)).sum()) == 0
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
 
