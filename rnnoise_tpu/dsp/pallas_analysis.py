@@ -100,15 +100,61 @@ def _take_row(table, idx):
 _ABLATE: frozenset = frozenset()
 
 
+@functools.lru_cache(maxsize=None)
+def _ladder_groups():
+    """Ladder candidates k = 2..15 grouped by the lag-index window their
+    table lookups can actually reach, so each group's two-hot reduce runs
+    over a narrow bx/yy slice instead of all 385 lanes (42 -> 24 lane
+    tiles).  Windows are EXACT: per-k active ranges enumerated over every
+    reachable T0 (>= 90 — the minimum fine pitch; activity T1 >= 30 forces
+    T0 >= ~29.5k, which caps T1b well away from the table edges).  Lookups
+    of INACTIVE (T0, k) pairs may fall outside their group window and read
+    as 0 — those values are never selected (``take`` requires ``active``).
+    Returns ((ks, lo, width), ...)."""
+    ranges = {}
+    for k in range(2, 16):
+        sck = 2 if k % 2 == 1 else (5 if k % 6 == 0 else 3)
+        lo_k, hi_k = _MAXP2, 0
+        for T0 in range(90, _MAXP2):
+            T1 = (2 * T0 + k) // (2 * k)
+            if T1 < _MINP2:
+                continue                         # inactive: value unused
+            T1b = (2 * sck * T0 + k) // (2 * k)
+            if k == 2:
+                T1b = T0 if T1 + T0 > _MAXP2 else T0 + T1
+            for t in (T1, T1b):
+                lo_k = min(lo_k, _MAXP2 - t)
+                hi_k = max(hi_k, _MAXP2 - t)
+        ranges[k] = (lo_k, hi_k)
+    groups = []
+    for ks in ((2, 4, 6), (3, 5, 8, 12), (7, 9, 10, 11, 13, 14, 15)):
+        lo = min(ranges[k][0] for k in ks)
+        hi = max(ranges[k][1] for k in ks)
+        groups.append((ks, lo, hi - lo + 1))
+    # tile budget that motivates the grouping (3 + 2 + 1 tiles of 128)
+    tiles = [-(-w // 128) for _, _, w in groups]
+    assert all(t <= b for t, b in zip(tiles, (3, 2, 1))), groups
+    return tuple(groups)
+
+
 def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
-                c1024, box_w, block, bx=None, box=None):
+                c1024, box_w, block, bx=None, box=None, xx=None):
     """Value-level fine-pitch span: ds [B, 864] whitened, coarse candidates
     bp0/bp1 [B], previous period (48 kHz units) / gain [B].  Returns
     (T0_out [B] int32, pg [B]) — shared by the analysis kernel and the
     whole-frame monokernel (pallas_frame).  ``bx``/``box`` may be passed in
     precomputed (pallas_frame's shared-spectra path computes the fine table
     and the combined fine+coarse energies itself); otherwise they are built
-    here from ``c1024``/``box_w``."""
+    here from ``c1024``/``box_w``.
+
+    ``bx``/``box`` may be 384 lanes wide (lags 0..383) when ``xx`` (the
+    x-window energy = lag-384 correlation) is supplied separately: no
+    DECISION ever reads lag index 384 — the ladder's T1/T1b are >= 1 for
+    every active k (T1 >= 30 forces T0 >= ~29.5k so T1b = sck*T0/k-ish
+    >= 59; exhaustively checked over all T0), T0 >= 90, and the fine search
+    stops at lag 293 — so dropping the lane is exact, and it deletes the
+    fourth 128-lane tile from the inverse-DFT matmul and every wide ladder
+    reduce."""
     f32 = jnp.float32
     if bx is None and len(c1024) != 6:
         (ftc0, fts0, ftc1, fts1, ftc2, fts2,
@@ -205,66 +251,85 @@ def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
         return (0.5 * jnp.sum(m * bx, axis=-1),
                 0.5 * jnp.sum(m * yy_rev_fwd, axis=-1))
 
-    xx = bx[:, _MAXP2]                          # lag 0 = index 384
+    if xx is None:
+        if bx.shape[1] > _MAXP2:
+            xx = bx[:, _MAXP2]                  # lag 0 = index 384
+        else:
+            # 384-lane table: lag-384 IS the x-window energy — a direct f32
+            # reduce (tighter than the DFT-route value it replaces)
+            x_w = ds[:, _X_OFF:]
+            xx = jnp.sum(x_w * x_w, axis=-1)
     xy, yy = lag_pair(T0, T0)
     g0 = xy / jnp.sqrt(1.0 + xx * yy)
 
     if "ladder" in _ABLATE:
         best_xy, best_yy, T, g = xy, yy, T0, g0
     else:
-        # ks / second-check table derived from iota (pallas kernels reject
-        # captured constants); scks: 2 for odd k, 5 for k % 6 == 0, else 3
-        # == _SECOND_CHECK[2:16]
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (block, 14), 1)
-        ks = kidx + 2                                      # [B, 14]
-        scks = jnp.where(ks % 2 == 1, 2, jnp.where(ks % 6 == 0, 5, 3))
+        # Grouped-window restatement of the vectorized k = 2..15 ladder:
+        # each group's two-hot lookups reduce over its narrow bx/yy window
+        # (_ladder_groups — 42 -> 24 lane tiles); per-(stream, k) arithmetic
+        # is term-for-term the reference's (pitch.c:422-528).  The k values
+        # come from where-chains over a group iota (Mosaic only lowers
+        # splat/iota constants), and the cumulative since-k=2 AND of
+        # T1 >= _MINP2 is the POINTWISE test — T1 is nonincreasing in k, so
+        # earlier ks pass whenever k does (exhaustively checked).  "Last
+        # passing k wins" becomes a running max of k over takes; the final
+        # one-hot selection matches exactly (k values are distinct).
         T0k = T0[:, None]                                  # [B, 1]
-        T1 = (2 * T0k + ks) // (2 * ks)                    # [B, 14]
-        T1b = (2 * scks * T0k + ks) // (2 * ks)
-        k2_fix = jnp.where(T1[:, :1] + T0k > _MAXP2, T0k, T0k + T1[:, :1])
-        T1b = jnp.where(kidx == 0, k2_fix, T1b)
-        # cumulative AND of (T1 >= _MINP2) along k (log-doubling, exact)
-        ok = (T1 >= _MINP2).astype(jnp.int32)
-        for sh in (1, 2, 4, 8):
-            shifted = jnp.concatenate(
-                [jnp.ones((block, sh), jnp.int32), ok[:, :-sh]], axis=1)
-            ok = ok * shifted
-        active = ok > 0                                    # [B, 14]
+        kmax = jnp.full((block,), -1.0, f32)
+        gdata = []
+        for ks, lo, w in _ladder_groups():
+            gsz = len(ks)
+            gi = jax.lax.broadcasted_iota(jnp.int32, (block, gsz), 1)
+            kg = jnp.full((block, gsz), ks[-1], jnp.int32)
+            for pos in range(gsz - 2, -1, -1):
+                kg = jnp.where(gi == pos, ks[pos], kg)
+            scg = jnp.where(kg % 2 == 1, 2, jnp.where(kg % 6 == 0, 5, 3))
+            T1 = (2 * T0k + kg) // (2 * kg)                # [B, g]
+            T1b = (2 * scg * T0k + kg) // (2 * kg)
+            if 2 in ks:
+                pos2 = ks.index(2)
+                t1_2 = T1[:, pos2:pos2 + 1]
+                k2_fix = jnp.where(t1_2 + T0k > _MAXP2, T0k, T0k + t1_2)
+                T1b = jnp.where(gi == pos2, k2_fix, T1b)
+            active = T1 >= _MINP2                          # [B, g]
 
-        # all 28 lookups in one 3D two-hot reduce
-        iota3 = jax.lax.broadcasted_iota(
-            jnp.int32, (block, 14, bx.shape[1]), 2)
-        m3 = ((iota3 == (_MAXP2 - T1)[:, :, None]).astype(f32)
-              + (iota3 == (_MAXP2 - T1b)[:, :, None]).astype(f32))
-        xy_k = 0.5 * jnp.sum(m3 * bx[:, None, :], axis=-1)      # [B, 14]
-        yy_k = 0.5 * jnp.sum(m3 * yy_rev_fwd[:, None, :], axis=-1)
+            iota3 = jax.lax.broadcasted_iota(jnp.int32, (block, gsz, w), 2)
+            m3 = ((iota3 == (_MAXP2 - lo - T1)[:, :, None]).astype(f32)
+                  + (iota3 == (_MAXP2 - lo - T1b)[:, :, None]).astype(f32))
+            xy_k = 0.5 * jnp.sum(m3 * bx[:, None, lo:lo + w], axis=-1)
+            yy_k = 0.5 * jnp.sum(m3 * yy_rev_fwd[:, None, lo:lo + w],
+                                 axis=-1)
 
-        g1 = xy_k / jnp.sqrt(1.0 + xx[:, None] * yy_k)
-        d = jnp.abs(T1 - prev_period[:, None])
-        cont = jnp.where(d <= 1, prev_gain[:, None],
-                         jnp.where((d <= 2) & (5 * ks * ks < T0k),
-                                   0.5 * prev_gain[:, None], 0.0))
-        thresh = jnp.maximum(0.3, 0.7 * g0[:, None] - cont)
-        thresh = jnp.where(T1 < 3 * _MINP2,
-                           jnp.maximum(0.4, 0.85 * g0[:, None] - cont),
-                           thresh)
-        take = active & (g1 > thresh)                      # [B, 14]
-        any_take = jnp.any(take, axis=1)
-        # argmax over f32: Mosaic's reduce-index lowering rejects int32, and
-        # kidx in [0, 13] is exact in f32
-        k_sel = jnp.argmax(
-            jnp.where(take, kidx, -1).astype(f32), axis=1)  # last pass
-        sel = (kidx == k_sel[:, None]) & take              # one-hot or zero
+            g1 = xy_k / jnp.sqrt(1.0 + xx[:, None] * yy_k)
+            d = jnp.abs(T1 - prev_period[:, None])
+            cont = jnp.where(d <= 1, prev_gain[:, None],
+                             jnp.where((d <= 2) & (5 * kg * kg < T0k),
+                                       0.5 * prev_gain[:, None], 0.0))
+            thresh = jnp.maximum(0.3, 0.7 * g0[:, None] - cont)
+            thresh = jnp.where(T1 < 3 * _MINP2,
+                               jnp.maximum(0.4, 0.85 * g0[:, None] - cont),
+                               thresh)
+            take = active & (g1 > thresh)                  # [B, g]
+            kmax = jnp.maximum(kmax, jnp.max(
+                jnp.where(take, kg, -1).astype(f32), axis=1))
+            gdata.append((kg, take, xy_k, yy_k, g1, T1))
+        any_take = kmax >= 0.0
 
-        def pick_f(v, fallback):
-            picked = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
-            return jnp.where(any_take, picked, fallback)
+        def pick(idx, fallback, int_val=False):
+            acc = None
+            for kg, take, *vals in gdata:
+                sel = take & (kg.astype(f32) == kmax[:, None])
+                v = vals[idx]
+                z = jnp.zeros((), v.dtype)
+                contrib = jnp.sum(jnp.where(sel, v, z), axis=1)
+                acc = contrib if acc is None else acc + contrib
+            return jnp.where(any_take, acc, fallback)
 
-        best_xy = pick_f(xy_k, xy)
-        best_yy = pick_f(yy_k, yy)
-        g = pick_f(g1, g0)
-        T = jnp.where(any_take,
-                      jnp.sum(jnp.where(sel, T1, 0), axis=1), T0)
+        best_xy = pick(0, xy)
+        best_yy = pick(1, yy)
+        g = pick(2, g0)
+        T = pick(3, T0)
 
     best_xy = jnp.maximum(0.0, best_xy)
     pg = jnp.where(best_yy <= best_xy, 1.0, best_xy / (best_yy + 1.0))

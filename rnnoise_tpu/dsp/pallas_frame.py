@@ -108,6 +108,20 @@ class FrameConsts(NamedTuple):
     # (8+8+8 bits >= f32's 24) recombine without rounding, at full-rate
     # bf16 MXU passes instead of the 6-pass f32 path.)
     sel_even: np.ndarray     # [864, 432] bf16
+    # smoothing (0.25/0.5/0.25) FOLDED into the even-selection: column m of
+    # sm0 holds taps at rows 2m-1, 2m, 2m+1 (col 0 = the reference boundary
+    # blend 0.5 x[0] + 0.25 x[1]); sm1 is the second half, shifted one row
+    # so its col 0 reaches x[863] (the cross-half neighbour).  Entries are
+    # powers of two — exact in bf16 — so _sel_dot keeps every product exact
+    # and the output differs from the sequential smooth-then-select
+    # formulation only in f32 summation order (~1 ulp).
+    sel_sm0: np.ndarray      # [864, 432] bf16
+    sel_sm1: np.ndarray      # [865, 432] bf16
+    # incremental decimation: the 240 NEW smoothed-even samples each frame
+    # come from the shifted pitch_buf's last 481 lanes (ds index 624+m reads
+    # pb[1247+2m .. 1249+2m]); the other 624 shift out of the carried
+    # ds_raw state (FrameState.ds_raw) — see frame_body
+    sel_smn: np.ndarray      # [481, 240] bf16
     # coarse search (own-DFT path; () when the alias path is active)
     box387: tuple            # ([387, 147] bf16 banded ones,) or ()
     c512: tuple              # factored DFT-512 consts (coarse correlation)
@@ -143,6 +157,20 @@ def frame_consts() -> FrameConsts:
     sel_even = np.zeros((half, half // 2), np.float32)
     sel_even[np.arange(0, half, 2), np.arange(half // 2)] = 1.0
     sel_even = sel_even.astype(np.dtype("bfloat16"))
+    m = np.arange(half // 2)
+    sm0 = np.zeros((half, half // 2), np.float32)
+    sm0[2 * m, m] = 0.5
+    sm0[2 * m + 1, m] = 0.25
+    sm0[2 * m[1:] - 1, m[1:]] = 0.25             # col 0: boundary blend
+    sm1 = np.zeros((half + 1, half // 2), np.float32)
+    sm1[2 * m, m] = 0.25                         # row r = x[863 + r]
+    sm1[2 * m + 1, m] = 0.5
+    sm1[2 * m + 2, m] = 0.25
+    mn = np.arange(240)
+    smn = np.zeros((481, 240), np.float32)       # row r = pb[1247 + r]
+    smn[2 * mn, mn] = 0.25
+    smn[2 * mn + 1, mn] = 0.5
+    smn[2 * mn + 2, mn] = 0.25
     win, tws9, leaf_c, leaf_r = _fwd_consts()
     (ih, il), (bh, bl) = _post_consts()
     (Ah, Al), (B0h, B0l), (Bjh, Bjl), itws, iwin = _inv_consts()
@@ -154,13 +182,20 @@ def frame_consts() -> FrameConsts:
     alias = ()
     coarse_own = (_direct_corr_consts(510, _LEN4, _Y4_LEN, _NL4)
                   if _DIRECT_CORR else _coarse512_consts())
-    box864 = (_box_matrix(),)
+    # 384-lane fine table (lags 0..383): lag 384 is the x-energy, computed
+    # as a direct reduce instead (_pitch_body xx) — drops the 4th 128-lane
+    # tile from the inverse matmul and the wide ladder reduces, exactly
+    box864 = ((_box_matrix()[:, :_MAXP2]
+               if _DIRECT_CORR else _box_matrix()),)
     if _ALIAS_COARSE:
         alias = _alias_coarse_consts()
         coarse_own, box864 = (), ()
     return FrameConsts(
         bq_K=K.T.copy(), bq_rowA=rowA.T.copy(), bq_SA=SA.T.copy(), bq_SB=SB,
         sel_even=sel_even,
+        sel_sm0=sm0.astype(np.dtype("bfloat16")),
+        sel_sm1=sm1.astype(np.dtype("bfloat16")),
+        sel_smn=smn.astype(np.dtype("bfloat16")),
         box387=(() if alias else (box387.astype(np.dtype("bfloat16")),)),
         # Direct-DFT n has no radix constraint — only n >= max index + 1
         # (fine: 384+479 = 863; coarse: 146+239 = 385, no circular wrap).
@@ -169,8 +204,12 @@ def frame_consts() -> FrameConsts:
         # pads 1026 -> 1152, +29% dead MXU columns), coarse n=510 -> 512
         # (n=512 pads 514 -> 640).
         c512=coarse_own,
+        # fold=True (alias path) stores the fine spectra in folded bin order
+        # so the coarse radix-2 aliasing is elementwise (Mosaic cannot lower
+        # lane reversal) — see _direct_corr_consts
         c1024=(_direct_corr_consts(894, pitch_mod._N2, pitch_mod._DS_LEN,
-                                   pitch_mod._MAXP2 + 1)
+                                   pitch_mod._MAXP2,
+                                   fold=bool(_ALIAS_COARSE))
                if _DIRECT_CORR else tuple(_xcorr_consts())),
         box864=box864,
         alias=alias,
@@ -212,36 +251,27 @@ _ABLATE: frozenset = frozenset()
 _SKIP_CONST_READ = False      # profiling only (see _frame_kernel)
 
 
-def _downsample_body(pitch_buf, sel_even):
-    """pitch_downsample (reference rnn_pitch_downsample, pitch.c:146-214)
-    restated without strided lane slices or scatters, both of which Mosaic
-    rejects: full-rate smoothing keeps pitch.pitch_downsample's exact f32 op
-    order, even-sample extraction happens through ``sel_even`` (one matmul
-    per 864-lane half; exact — see FrameConsts), and the i=0 boundary sample
-    is blended in with an iota mask instead of ``.at[...].set``.  Returns the
-    whitened [B, 864] buffer, value-identical to pitch_mod.pitch_downsample
-    up to reduction order in the autocorrelation."""
-    x = pitch_buf
-    S = x.shape[0]
-    half = pitch_mod._DS_LEN                       # 864
-    if "ds_sm" in _ABLATE:
-        sm = x * 0.5
-    else:
-        zero1 = jnp.zeros((S, 1), x.dtype)
-        xl = jnp.concatenate([zero1, x[:, :-1]], axis=-1)
-        xr = jnp.concatenate([x[:, 1:], zero1], axis=-1)
-        sm = 0.25 * (xl + xr) + 0.5 * x
-    if "ds_sel" in _ABLATE:
-        x_lp = sm[:, :half]
-    else:
-        e0 = _sel_dot(sm[:, :half], sel_even)
-        e1 = _sel_dot(sm[:, half:], sel_even)
-        x_lp = jnp.concatenate([e0, e1], axis=-1)  # [S, 864]
-        iota = jax.lax.broadcasted_iota(jnp.int32, x_lp.shape, 1)
-        x_lp = jnp.where(iota == 0,
-                         0.25 * x[:, 1:2] + 0.5 * x[:, 0:1], x_lp)
+def _decimate_full(pitch_buf, sel_sm0, sel_sm1):
+    """Full smoothed-even decimation of a 1728-sample pitch buffer ->
+    [B, 864] raw (unwhitened) 24 kHz buffer: the 0.25/0.5/0.25 smoothing and
+    the even-sample extraction as ONE folded selection matmul per half
+    (exact power-of-two taps — see FrameConsts).  Used once per chunk to
+    initialise the carried FrameState.ds_raw (state_from_denoise); the
+    per-frame update is incremental (240 new samples, frame_body).  Lane 0
+    is NOT boundary-blended here — frame_body re-applies the blend each
+    frame, and chunk-init lane 0 shifts out before first use."""
+    e0 = _sel_dot(pitch_buf[:, :pitch_mod._DS_LEN], sel_sm0)
+    e1 = _sel_dot(pitch_buf[:, pitch_mod._DS_LEN - 1:], sel_sm1)
+    return jnp.concatenate([e0, e1], axis=-1)
 
-    n = half
+
+def _whiten_body(x_lp):
+    """LPC whitening of the decimated buffer (rnn_pitch_downsample's second
+    half, reference pitch.c:146-214): order-4 autocorr + lag window +
+    Levinson + damped fir5, value-identical to pitch_mod.pitch_downsample
+    up to reduction order in the autocorrelation."""
+    S = x_lp.shape[0]
+    n = pitch_mod._DS_LEN
     if "ds_lpc" in _ABLATE:
         lpc = [jnp.full((S, 1), 0.01 * (i + 1), jnp.float32)
                for i in range(4)]
@@ -340,18 +370,20 @@ def _alias_coarse_consts():
     """Consts for the alias-coarse path: one combined fine+coarse energy
     matrix and the 447-point inverse-correlation matrix.
 
-    boxall [864, 532]: columns 0..384 are _box_matrix (fine 480-tap sliding
-    energies over d2 = ds^2); columns 385..531 are the coarse energies
+    boxall [864, 531]: columns 0..383 are _box_matrix's first 384 (fine
+    480-tap sliding energies over d2 = ds^2; lag 384 never read — see
+    _pitch_body's 384-lane contract); columns 384..530 are the coarse
+    energies
     box4[u] = sum_{i=u}^{u+239} ds[2i]^2 restated on d2's 864 rows (rows
     2u..2u+478 step 2) — bitwise equal to the y4^2 @ box387 formulation
     since d2 at even rows IS y4^2 and the extra contraction terms are exact
     zeros.  Entries 0/1: exact in bf16, the X2 split lives on the d2 side.
     """
-    box = np.zeros((pitch_mod._DS_LEN, _MAXP2 + 1 + _NL4), np.float32)
-    for u in range(_MAXP2 + 1):
+    box = np.zeros((pitch_mod._DS_LEN, _MAXP2 + _NL4), np.float32)
+    for u in range(_MAXP2):
         box[u:u + _N2, u] = 1.0
     for u in range(_NL4):
-        box[2 * u:2 * (u + _LEN4):2, _MAXP2 + 1 + u] = 1.0
+        box[2 * u:2 * (u + _LEN4):2, _MAXP2 + u] = 1.0
     n4 = 447                       # 894 // 2; odd, so no last-bin halving
     nb4 = (n4 + 1) // 2            # 224 stored bins
     k = np.arange(nb4)[:, None]
@@ -383,18 +415,21 @@ def _pitch_chain_alias(ds, last_period, last_gain, c, block):
     d2l = (d2 - d2h.astype(f32)).astype(jnp.bfloat16)
     boxall = (jnp.dot(d2h, boxall_w, preferred_element_type=f32)
               + jnp.dot(d2l, boxall_w, preferred_element_type=f32))
-    box385 = boxall[:, :_MAXP2 + 1]
-    box147 = boxall[:, _MAXP2 + 1:]
+    box384 = boxall[:, :_MAXP2]
+    box147 = boxall[:, _MAXP2:]
+    xx = jnp.sum(d2[:, pitch_mod._X_OFF:], axis=-1)
 
-    # coarse spectra by aliasing: X4(k) = (X(k) + conj(X(447-k))) / 2
+    # coarse spectra by aliasing: X4(k) = (X(k) + conj(X(447-k))) / 2.
+    # The spectra arrive in FOLDED bin order (c1024 built with fold=True:
+    # lane half+k holds bin 447-k), so the alias is elementwise on adjacent
+    # half-lane slices — no lane reversal (Mosaic has no "rev" lowering).
     nb = 448
     half = 224
 
     def alias(s):
         r, i = s[:, :nb], s[:, nb:]
-        rT = jnp.flip(r[:, half:nb], axis=1)      # r[447-k], k = 0..223
-        iT = jnp.flip(i[:, half:nb], axis=1)
-        return 0.5 * (r[:, :half] + rT), 0.5 * (i[:, :half] - iT)
+        return (0.5 * (r[:, :half] + r[:, half:]),
+                0.5 * (i[:, :half] - i[:, half:]))
 
     x4r, x4i = alias(xs)
     y4r, y4i = alias(ys)
@@ -405,7 +440,7 @@ def _pitch_chain_alias(ds, last_period, last_gain, c, block):
 
     bx = _direct_corr_inv(xs, ys, c1024)
     return _pitch_body(ds, bp0, bp1, last_period, last_gain,
-                       (), None, block, bx=bx, box=box385)
+                       (), None, block, bx=bx, box=box384, xx=xx)
 
 
 def _coarse_rank(xc4, box147, block):
@@ -447,6 +482,11 @@ class FrameState(NamedTuple):
     dEx: jax.Array           # [B, 32]
     dEp: jax.Array
     dExp: jax.Array
+    # derived state (recomputable from pitch_buf, carried so each frame only
+    # computes 240 NEW decimated samples instead of all 864 — saves ~1.9M
+    # MACs/stream/frame of selection matmul): the smoothed-even 24 kHz
+    # buffer BEFORE whitening.  init: _decimate_full(pitch_buf).
+    ds_raw: jax.Array        # [B, 864]
 
 
 def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
@@ -472,8 +512,24 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
     sel_even = jnp.asarray(c.sel_even)
     if "ds" in _ABLATE:
         ds = pitch_buf[:, :pitch_mod._DS_LEN] * 0.5
+        ds_raw = st.ds_raw
     else:
-        ds = _downsample_body(pitch_buf, sel_even)
+        # incremental decimation: 624 carried samples shift left, 240 new
+        # ones come from the shifted buffer's last 481 lanes; lane 0 then
+        # takes the reference's left-edge boundary blend (the reference
+        # recomputes the full downsample per frame with x[-1] zeroed at the
+        # CURRENT window edge, pitch.c:146-214)
+        if "ds_sel" in _ABLATE or "ds_sm" in _ABLATE:
+            ds_raw = st.ds_raw
+        else:
+            new240 = _sel_dot(pitch_buf[:, 2 * pitch_mod._DS_LEN - 481:],
+                              jnp.asarray(c.sel_smn))
+            ds_raw = jnp.concatenate([st.ds_raw[:, 240:], new240], axis=-1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, ds_raw.shape, 1)
+            ds_raw = jnp.where(
+                iota == 0,
+                0.25 * pitch_buf[:, 1:2] + 0.5 * pitch_buf[:, 0:1], ds_raw)
+        ds = _whiten_body(ds_raw)
 
     # ---- pitch chain ------------------------------------------------------
     if "pitch" in _ABLATE:
@@ -510,8 +566,12 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
         Xp = jnp.concatenate([v, zpad], axis=1)
         Pp = jnp.concatenate([p * win, zpad], axis=1)
     else:
-        Xp = _dif_forward(v, tws9, *leaf9)
-        Pp = _dif_forward(p * win, tws9, *leaf9)
+        # one batched call for both spectra: row-wise identical math
+        # (bitwise-equal per row), half the leaf-dot dispatches and fatter
+        # MXU dots
+        both = _dif_forward(jnp.concatenate([v, p * win], axis=0),
+                            tws9, *leaf9)
+        Xp, Pp = both[:block], both[block:]
 
     # ---- band energies + features (exact-f32 dots, permuted layout) -------
     band_p = jnp.asarray(c.band_p)
@@ -586,7 +646,7 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
             synthesis_mem=smem, last_period=T0[:, None],
             last_gain=gain[:, None], lastg=lastg,
             c1m=c1m, c2m=c2m, h1=h1, h2=h2, h3=h3,
-            dX=Xp, dP=Pp, dEx=Ex, dEp=Ep, dExp=Exp)
+            dX=Xp, dP=Pp, dEx=Ex, dEp=Ep, dExp=Exp, ds_raw=ds_raw)
         return new, out, vad
     from .pallas_spectral import _post_body
     (ih, il), (bh, bl) = c.interp_hl, c.band_hl
@@ -605,12 +665,17 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
         synthesis_mem=smem, last_period=T0[:, None],
         last_gain=gain[:, None], lastg=lastg,
         c1m=c1m, c2m=c2m, h1=h1, h2=h2, h3=h3,
-        dX=Xp, dP=Pp, dEx=Ex, dEp=Ep, dExp=Exp)
+        dX=Xp, dP=Pp, dEx=Ex, dEp=Ep, dExp=Exp, ds_raw=ds_raw)
     return new, out, vad
 
 
 def state_from_denoise(state, block: int) -> FrameState:
-    """denoise.DenoiseState (permuted widths) -> FrameState."""
+    """denoise.DenoiseState (permuted widths) -> FrameState.  The derived
+    ds_raw carry is (re)computed from pitch_buf — one full decimation per
+    chunk, amortised over the chunk's frames."""
+    c = frame_consts()
+    ds_raw = _decimate_full(state.pitch_buf, jnp.asarray(c.sel_sm0),
+                            jnp.asarray(c.sel_sm1))
     return FrameState(
         mem_hp=state.mem_hp, pitch_buf=state.pitch_buf,
         analysis_mem=state.analysis_mem, synthesis_mem=state.synthesis_mem,
@@ -619,7 +684,8 @@ def state_from_denoise(state, block: int) -> FrameState:
         c1m=state.rnn.conv1_mem, c2m=state.rnn.conv2_mem,
         h1=state.rnn.gru1, h2=state.rnn.gru2, h3=state.rnn.gru3,
         dX=state.delayed_X, dP=state.delayed_P,
-        dEx=state.delayed_Ex, dEp=state.delayed_Ep, dExp=state.delayed_Exp)
+        dEx=state.delayed_Ex, dEp=state.delayed_Ep, dExp=state.delayed_Exp,
+        ds_raw=ds_raw)
 
 
 # ---------------------------------------------------------------------------
@@ -634,7 +700,7 @@ def _state_widths():
                 synthesis_mem=FRAME_SIZE, last_period=1, last_gain=1,
                 lastg=32, c1m=130, c2m=256, h1=384, h2=384, h3=384,
                 dX=2 * PERM_WIDTH, dP=2 * PERM_WIDTH, dEx=32, dEp=32,
-                dExp=32)
+                dExp=32, ds_raw=pitch_mod._DS_LEN)
 
 
 def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1, fps=1):
@@ -713,8 +779,10 @@ def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1, fps=1):
 # The kernel's Mosaic stack (consts ~6.4 MB padded + carry + working set)
 # exceeds the 16 MiB default scoped-VMEM budget (24.1 MB at block 64); v5e
 # has 128 MiB physical VMEM, so raise the per-kernel limit instead of
-# shrinking the block below MXU-efficient sizes.
-_VMEM_LIMIT = 100 * 1024 * 1024
+# shrinking the block below MXU-efficient sizes.  120 MiB (not 100): fps=2
+# at block 384 needs 113.2 MiB of scoped stack (measured compile error);
+# the limit only caps allocation, it doesn't change codegen below it.
+_VMEM_LIMIT = 120 * 1024 * 1024
 
 
 def process_chunk_monokernel(state, pcm_tm, packed_weights,

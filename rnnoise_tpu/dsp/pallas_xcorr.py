@@ -181,7 +181,8 @@ def lag_corr_table_pallas(ds: jax.Array, block: int = 256,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _direct_corr_consts(n: int, x_len: int, y_len: int, nlags: int):
+def _direct_corr_consts(n: int, x_len: int, y_len: int, nlags: int,
+                        fold: bool = False):
     """Constant matrices for corr[u] = sum_j x[j] * y[u + j] via the
     correlation theorem with DIRECT DFT matmuls (no factorization):
 
@@ -195,9 +196,28 @@ def _direct_corr_consts(n: int, x_len: int, y_len: int, nlags: int):
     matmuls and 4 VPU multiplies total, and zero-pad rows are simply absent
     from F (exact).  Numerics: same ~1e-6 class as the factored X3 path
     (f32 MXU accumulation of bf16-split products), i.e. inside the ranking
-    tolerance the parity suite budgets for.  Returns bf16 hi/lo pairs."""
+    tolerance the parity suite budgets for.  Returns bf16 hi/lo pairs.
+
+    ``fold`` stores the spectra in FOLDED bin order: lane j < nb/2 holds
+    natural bin j, lane nb/2 + j holds bin n/2 - j (requires nb even, i.e.
+    n = 2 mod 4).  conj-mult and the inverse are bin-order agnostic (A's
+    rows are permuted to match), so corr is unchanged up to f32 accumulation
+    order — but radix-2 aliasing of the spectrum becomes a pure elementwise
+    op on adjacent half-lanes: E(k) = (X(k) + conj(X(n/2 - k)))/2 reads
+    lanes j and nb/2 + j.  Mosaic has no lane-reversal primitive ("rev"
+    fails to lower), so this column-order trick is what makes the
+    alias-coarse pitch path (pallas_frame._pitch_chain_alias) lowerable at
+    zero extra flops."""
     nb = n // 2 + 1
-    k = np.arange(nb)
+    if fold:
+        assert nb % 2 == 0, (n, nb)
+        half = nb // 2
+        order = np.concatenate(
+            [np.arange(half), n // 2 - np.arange(half)])
+        assert sorted(order.tolist()) == list(range(nb))
+    else:
+        order = np.arange(nb)
+    k = order
 
     def fwd(length):
         j = np.arange(length)[:, None]
@@ -207,10 +227,10 @@ def _direct_corr_consts(n: int, x_len: int, y_len: int, nlags: int):
 
     u = np.arange(nlags)[None, :]
     angu = 2.0 * np.pi * (k[:, None] * u) / n        # inverse sign
-    w = np.full((nb, 1), 2.0 / n)
-    w[0, 0] = 1.0 / n
-    if n % 2 == 0:
-        w[-1, 0] = 1.0 / n
+    # bin-indexed weights (NOT positional: under ``fold`` the n/2 bin sits
+    # mid-array): single-count DC and, for even n, the n/2 bin
+    w = np.where((k == 0) | ((n % 2 == 0) & (k == n // 2)),
+                 1.0 / n, 2.0 / n)[:, None]
     # corr[u] = sum_k w_k * (Cr_k cos(2pi k u / n) - Ci_k sin(2pi k u / n));
     # C = conj(X) Y so Ci enters with +sin(angu)... derive: taking
     # corr = (1/n) sum_{k=0}^{n-1} C_k e^{+2pi i k u / n} real part with

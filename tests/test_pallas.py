@@ -317,7 +317,7 @@ def test_frame_body_matches_process_frame(model_params, rng):
         dX=jnp.zeros((S, 2 * ps.PERM_WIDTH)),
         dP=jnp.zeros((S, 2 * ps.PERM_WIDTH)),
         dEx=jnp.zeros((S, 32)), dEp=jnp.zeros((S, 32)),
-        dExp=jnp.zeros((S, 32)))
+        dExp=jnp.zeros((S, 32)), ds_raw=jnp.zeros((S, 864)))
     max_pcm = max_vad = 0.0
     n_period_mismatch = 0
     for t in range(T):
