@@ -297,9 +297,11 @@ def _pitch_body(ds, bp0, bp1, prev_period_48k, prev_gain,
             iota3 = jax.lax.broadcasted_iota(jnp.int32, (block, gsz, w), 2)
             m3 = ((iota3 == (_MAXP2 - lo - T1)[:, :, None]).astype(f32)
                   + (iota3 == (_MAXP2 - lo - T1b)[:, :, None]).astype(f32))
-            xy_k = 0.5 * jnp.sum(m3 * bx[:, None, lo:lo + w], axis=-1)
-            yy_k = 0.5 * jnp.sum(m3 * yy_rev_fwd[:, None, lo:lo + w],
-                                 axis=-1)
+            # slice THEN newaxis: the mixed None+slice form rewrites to a
+            # lax.gather, which Mosaic cannot lower
+            xy_k = 0.5 * jnp.sum(m3 * bx[:, lo:lo + w][:, None, :], axis=-1)
+            yy_k = 0.5 * jnp.sum(
+                m3 * yy_rev_fwd[:, lo:lo + w][:, None, :], axis=-1)
 
             g1 = xy_k / jnp.sqrt(1.0 + xx[:, None] * yy_k)
             d = jnp.abs(T1 - prev_period[:, None])
