@@ -54,7 +54,10 @@ def main():
     from rnnoise_tpu import denoise as _dn
     configs = [(S, "scan") for S in (2048, 3072, 4096)]
     if dev.platform == "tpu":
-        configs += [(S, "monokernel") for S in (3072, 4096)]
+        # the scan's optimum is pinned by scoped-VMEM residency at S=3072;
+        # the monokernel has no such knee — probe it where the scan can't
+        # follow (S=6144 = 16 blocks of 384)
+        configs += [(S, "monokernel") for S in (3072, 4096, 6144)]
     for S, path in configs:
         try:
             _dn.set_monokernel("on" if path == "monokernel" else "off")
@@ -94,6 +97,10 @@ def main():
             # relay's timing channel is ±10-15% with occasional stalls, so a
             # single number is not believable on its own (VERDICT r2 #6).
             elapsed = float(np.median(times))
+            # relay bogons (multi-second stalls, e.g. a 96 s max against a
+            # 385 ms median in BENCH_r03) would make streams_min meaningless
+            # — drop runs >3x the median from the reported spread
+            times = [t for t in times if t <= 3.0 * elapsed]
 
             audio_seconds = T * FRAME_SIZE / 48000.0
             streams_rt = S * audio_seconds / elapsed
