@@ -69,12 +69,18 @@ def _spec_width() -> int:
 
 # Whole-frame monokernel dispatch (dsp/pallas_frame): "on" routes
 # process_frames_tm through the single-Pallas-call T-grid kernel when
-# viable, "off" always scans process_frame.  Default off: on v5e at
-# S=3072/T=400 the monokernel currently ties the scan (1.41 vs 1.39
-# ms/frame) — flip to "auto" when it wins.
-_MONOKERNEL = "off"
-_MONO_BLOCKS = (384, 256, 128)
-_MONO_FPS = 1                 # frames per grid step (see pallas_frame)
+# viable, "off" always scans process_frame.  Default ON since round 4: on
+# v5e at S=3072/T=400 the shipping config (alias-coarse + incremental ds +
+# block=256/fps=4) measures 1.341 ms/frame vs the scan's 1.389
+# (scripts/bench_mono.py grid, 2026-08-19).
+_MONOKERNEL = "on"
+# Block preference order: 256 first — it admits frames_per_step=4 within
+# the 120 MB scoped-VMEM budget (384 OOMs at fps>=2 by <1 MB: 120.88M).
+_MONO_BLOCKS = (256, 384, 128)
+_MONO_FPS = 4                 # frames per grid step (see pallas_frame)
+# fps>1 is VMEM-viable only at block<=256 on v5e (measured: b384/fps2
+# scoped-alloc 120.88M > 120M limit); larger blocks run per-frame.
+_MONO_FPS_MAX_BLOCK = 256
 
 
 def set_monokernel(mode: str) -> None:
@@ -88,6 +94,16 @@ def _mono_block(S: int) -> Optional[int]:
         if S % b == 0:
             return b
     return None
+
+
+def _mono_cfg(T: int, S: int) -> tuple:
+    """(block, frames_per_step) for the monokernel dispatch: fps applies
+    only when it divides T and the block fits the fps>1 VMEM budget."""
+    block = _mono_block(S)
+    fps = _MONO_FPS if (T % _MONO_FPS == 0
+                        and block is not None
+                        and block <= _MONO_FPS_MAX_BLOCK) else 1
+    return block, fps
 
 
 def _monokernel_viable(params, state, S: int, rt: RuntimeConfig) -> bool:
@@ -434,10 +450,9 @@ def process_frames_tm(params: Optional[ModelParams], state: DenoiseState,
     # round 3 once the monokernel superseded the idea.
     if _monokernel_viable(params, state, pcm.shape[1], rt):
         from .dsp.pallas_frame import process_chunk_monokernel
-        fps = _MONO_FPS if pcm.shape[0] % _MONO_FPS == 0 else 1
+        block, fps = _mono_cfg(pcm.shape[0], pcm.shape[1])
         return process_chunk_monokernel(state, pcm, _packed_weights(params),
-                                        block=_mono_block(pcm.shape[1]),
-                                        frames_per_step=fps)
+                                        block=block, frames_per_step=fps)
 
     def step(st, frame):
         st, out, vad = process_frame(params, st, frame, rt)
@@ -479,11 +494,10 @@ def process_frames_tm_i16(params: Optional[ModelParams], state: DenoiseState,
     if _monokernel_viable(params, state, pcm.shape[1], rt):
         # conversions move INSIDE the kernel: int16 pcm in, int16 out
         from .dsp.pallas_frame import process_chunk_monokernel
-        fps = _MONO_FPS if pcm.shape[0] % _MONO_FPS == 0 else 1
+        block, fps = _mono_cfg(pcm.shape[0], pcm.shape[1])
         return process_chunk_monokernel(state, pcm.astype(jnp.int16),
                                         _packed_weights(params),
-                                        block=_mono_block(pcm.shape[1]),
-                                        frames_per_step=fps)
+                                        block=block, frames_per_step=fps)
     state, out, vad = process_frames_tm(params, state,
                                         pcm.astype(jnp.float32), rt)
     rounded = jnp.trunc(jnp.where(out > 0, out + 0.5, out - 0.5))

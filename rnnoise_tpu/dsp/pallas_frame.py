@@ -61,7 +61,11 @@ _DIRECT_CORR = True
 # tolerance as the parity suite budgets; decisions validated on the stateful
 # chain (tests/test_monokernel.py::test_alias_coarse_decisions).  Requires
 # _DIRECT_CORR.  lru-cached consts: flip only before first use.
-_ALIAS_COARSE = False
+# Default ON: measured on-chip at S=3072/T=400/b384/fps=1 (2026-08-19,
+# scripts/bench_mono.py): alias 1.444 vs own-DFT 1.495 ms/frame (-3.4%);
+# with _INC_DS and _BATCH_FWD at their measured defaults the alias
+# formulation is part of the shipping 1.341 ms/frame config.
+_ALIAS_COARSE = True
 
 import contextlib
 
@@ -249,6 +253,19 @@ def _sel_dot(x, sel):
 # compute; full-minus-ablated deltas attribute the frame cost per stage.
 _ABLATE: frozenset = frozenset()
 _SKIP_CONST_READ = False      # profiling only (see _frame_kernel)
+
+# A/B formulation switches (bisected the 65dde22 cuts on-chip; both
+# formulations are value-identical for every DECISION — see frame_body):
+# incremental 240-sample ds update vs full per-frame decimation, and the
+# batched dual forward DFT-960 vs two separate calls.  Measured at
+# S=3072/T=400/alias/fps=1 (scripts/bench_mono.py, 2026-08-19): both off
+# 1.478 ms/frame, _INC_DS only 1.404 (the win), _BATCH_FWD only 1.509
+# (the regression — the [2B, n] concat/split costs more than the saved
+# dispatch, and it fattens scoped-VMEM peak enough to OOM fps=2).
+# Defaults are the measured winners.
+_INC_DS = True
+_BATCH_FWD = False
+_BATCH_FWD_DEFAULT = _BATCH_FWD   # tests key their bitwise claim off this
 
 
 def _decimate_full(pitch_buf, sel_sm0, sel_sm1):
@@ -521,7 +538,7 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
         # CURRENT window edge, pitch.c:146-214)
         if "ds_sel" in _ABLATE or "ds_sm" in _ABLATE:
             ds_raw = st.ds_raw
-        else:
+        elif _INC_DS:
             new240 = _sel_dot(pitch_buf[:, 2 * pitch_mod._DS_LEN - 481:],
                               jnp.asarray(c.sel_smn))
             ds_raw = jnp.concatenate([st.ds_raw[:, 240:], new240], axis=-1)
@@ -529,6 +546,14 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
             ds_raw = jnp.where(
                 iota == 0,
                 0.25 * pitch_buf[:, 1:2] + 0.5 * pitch_buf[:, 0:1], ds_raw)
+        else:
+            # full per-frame decimation: sel_sm0's col 0 IS the reference's
+            # left-edge boundary blend, so no iota fix-up is needed — this
+            # is the reference formulation directly (pitch.c:146-214),
+            # bitwise-equal to the incremental path away from summation
+            # order (~1 ulp; same _sel_dot exactness argument)
+            ds_raw = _decimate_full(pitch_buf, jnp.asarray(c.sel_sm0),
+                                    jnp.asarray(c.sel_sm1))
         ds = _whiten_body(ds_raw)
 
     # ---- pitch chain ------------------------------------------------------
@@ -565,13 +590,18 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
         zpad = jnp.zeros((block, 2 * PERM_WIDTH - WINDOW_SIZE), jnp.float32)
         Xp = jnp.concatenate([v, zpad], axis=1)
         Pp = jnp.concatenate([p * win, zpad], axis=1)
-    else:
-        # one batched call for both spectra: row-wise identical math
-        # (bitwise-equal per row), half the leaf-dot dispatches and fatter
-        # MXU dots
+    elif _BATCH_FWD:
+        # one batched call for both spectra: same math per row, half the
+        # leaf-dot dispatches and fatter MXU dots — but the [2B, n] dots may
+        # reduce in a different order than two [B, n] dots (~1 ulp in the
+        # leaves, measured on CPU interpret), so NOT bitwise vs the split
+        # form.  Measured slower on-chip; default off.
         both = _dif_forward(jnp.concatenate([v, p * win], axis=0),
                             tws9, *leaf9)
         Xp, Pp = both[:block], both[block:]
+    else:
+        Xp = _dif_forward(v, tws9, *leaf9)
+        Pp = _dif_forward(p * win, tws9, *leaf9)
 
     # ---- band energies + features (exact-f32 dots, permuted layout) -------
     band_p = jnp.asarray(c.band_p)
@@ -779,10 +809,11 @@ def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1, fps=1):
 # The kernel's Mosaic stack (consts ~6.4 MB padded + carry + working set)
 # exceeds the 16 MiB default scoped-VMEM budget (24.1 MB at block 64); v5e
 # has 128 MiB physical VMEM, so raise the per-kernel limit instead of
-# shrinking the block below MXU-efficient sizes.  120 MiB (not 100): fps=2
-# at block 384 needs 113.2 MiB of scoped stack (measured compile error);
-# the limit only caps allocation, it doesn't change codegen below it.
-_VMEM_LIMIT = 120 * 1024 * 1024
+# shrinking the block below MXU-efficient sizes.  126 MiB (was 120): with
+# _INC_DS the b384/fps=2 config demands 120.88M of scoped stack (measured
+# compile error at the old limit — OOM by <1 MB); the limit only caps
+# allocation, it doesn't change codegen below it.
+_VMEM_LIMIT = 126 * 1024 * 1024
 
 
 def process_chunk_monokernel(state, pcm_tm, packed_weights,

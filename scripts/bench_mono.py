@@ -4,9 +4,10 @@ block size) — the round-4 measurement harness for the levers round 3 built
 but never timed (VERDICT items 1-3).
 
 Usage: python scripts/bench_mono.py [S] [T] [variant ...]
-  variant syntax: name=alias,fps,block   e.g.  a1=1,2,384
-  default grid: base=0,1,384 alias=1,1,384 fps2=0,2,384 afps2=1,2,384
-                afps4=1,4,384 afps2b512=1,2,512
+  variant syntax: name=alias,fps,block[,inc_ds,batch_fwd]  e.g.  a1=1,2,384
+  (inc_ds / batch_fwd default to the module's _INC_DS/_BATCH_FWD — the
+  measured shipping formulation)
+  default grid: ship=1,4,256 afps8=1,8,256 afps2=1,2,256 afps4b128=1,4,128
 
 Protocol per CLAUDE.md hazards: T=400 (relay dispatch overhead), chained
 state (relay execution cache), host checksum per iter, median-of-N with
@@ -34,8 +35,8 @@ def main():
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     specs = sys.argv[3:]
     if not specs:
-        specs = ["base=0,1,384", "alias=1,1,384", "fps2=0,2,384",
-                 "afps2=1,2,384", "afps4=1,4,384", "afps2b512=1,2,512"]
+        specs = ["ship=1,4,256", "afps8=1,8,256", "afps2=1,2,256",
+                 "afps4b128=1,4,128"]
 
     params = _demo_params()
     weights = denoise._packed_weights(params)
@@ -47,10 +48,15 @@ def main():
     results = []
     for spec in specs:
         name, cfg = spec.split("=")
-        alias, fps, block = (int(v) for v in cfg.split(","))
+        fields = [int(v) for v in cfg.split(",")]
+        alias, fps, block = fields[:3]
+        inc_ds = bool(fields[3]) if len(fields) > 3 else pf._INC_DS
+        batch_fwd = bool(fields[4]) if len(fields) > 4 else pf._BATCH_FWD
         if S % block or T % fps:
             print(f"{name}: skipped (S%block={S % block} T%fps={T % fps})")
             continue
+        prev_flags = (pf._INC_DS, pf._BATCH_FWD)
+        pf._INC_DS, pf._BATCH_FWD = inc_ds, batch_fwd
         try:
             with pf.alias_coarse(bool(alias)):
                 state = denoise.init_state(S)
@@ -87,6 +93,8 @@ def main():
                 results.append((name, ms_frame, streams))
         except Exception as e:  # noqa: BLE001 — keep the grid going
             print(f"{name}: FAILED: {type(e).__name__}: {e}", flush=True)
+        finally:
+            pf._INC_DS, pf._BATCH_FWD = prev_flags
 
     if results:
         best = min(results, key=lambda r: r[1])

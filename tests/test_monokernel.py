@@ -93,15 +93,15 @@ def test_alias_coarse_decisions(rng):
     lp = jnp.asarray(rng.integers(60, 700, B), np.int32)
     lg = jnp.asarray(rng.random(B), jnp.float32)
 
-    assert not pf._ALIAS_COARSE
-    c0 = pf.frame_consts()
-    bp0, bp1 = pf._coarse_body(
-        ds, jnp.asarray(c0.sel_even), jnp.asarray(c0.box387[0]),
-        tuple(jnp.asarray(a) for a in c0.c512), B)
-    from rnnoise_tpu.dsp.pallas_analysis import _pitch_body
-    T0a, ga = _pitch_body(ds, bp0, bp1, lp, lg,
-                          tuple(jnp.asarray(a) for a in c0.c1024),
-                          jnp.asarray(c0.box864[0]), B)
+    with pf.alias_coarse(False):
+        c0 = pf.frame_consts()
+        bp0, bp1 = pf._coarse_body(
+            ds, jnp.asarray(c0.sel_even), jnp.asarray(c0.box387[0]),
+            tuple(jnp.asarray(a) for a in c0.c512), B)
+        from rnnoise_tpu.dsp.pallas_analysis import _pitch_body
+        T0a, ga = _pitch_body(ds, bp0, bp1, lp, lg,
+                              tuple(jnp.asarray(a) for a in c0.c1024),
+                              jnp.asarray(c0.box864[0]), B)
     with pf.alias_coarse(True):
         T0b, gb = pf._pitch_chain_alias(ds, lp, lg, pf.frame_consts(), B)
     assert int((np.asarray(T0a) != np.asarray(T0b)).sum()) == 0
@@ -141,14 +141,16 @@ def test_monokernel_dispatch_cpu_fallback(model_params, rng):
     pcm = jnp.asarray(1000 * rng.standard_normal((3, 2, FRAME_SIZE)),
                       jnp.float32)
     rt = RuntimeConfig(quantized=True)
-    denoise.set_monokernel("on")
+    prev = denoise._MONOKERNEL
     try:
+        denoise.set_monokernel("on")
         st_on, out_on, vad_on = denoise.process_frames_tm(
             model_params, st, pcm, rt)
-    finally:
         denoise.set_monokernel("off")
-    st_off, out_off, vad_off = denoise.process_frames_tm(
-        model_params, st, pcm, rt)
+        st_off, out_off, vad_off = denoise.process_frames_tm(
+            model_params, st, pcm, rt)
+    finally:
+        denoise.set_monokernel(prev)
     np.testing.assert_array_equal(np.asarray(out_on), np.asarray(out_off))
     np.testing.assert_array_equal(np.asarray(vad_on), np.asarray(vad_off))
 
@@ -213,3 +215,39 @@ def test_monokernel_frames_per_step_bitwise(model_params, rng):
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
     jax.tree.map(lambda x, y: np.testing.assert_array_equal(
         np.asarray(x), np.asarray(y)), a[0], b[0])
+
+
+@pytest.mark.parametrize("inc_ds,batch_fwd", [(False, False), (False, True),
+                                              (True, True)])
+def test_monokernel_formulation_flags(model_params, rng, monkeypatch,
+                                      inc_ds, batch_fwd):
+    """The A/B formulation switches (pallas_frame._INC_DS incremental
+    decimation, _BATCH_FWD batched dual forward DFT) are pure restructures.
+    Flipping _INC_DS alone is bitwise identical (it only reorders exact-zero
+    addends in the selection matmuls — 3 nonzero power-of-two taps per
+    output lane).  _BATCH_FWD=True is the same math per row, but the [2B, n]
+    dot may pick a different reduction order than two [B, n] dots (measured
+    ~1 ulp in the DFT leaves on the CPU interpret backend), so it is held
+    to a sub-LSB PCM budget instead of bitwise."""
+    import jax
+    S, T = 16, 4
+    pcm = jnp.asarray(2000 * rng.standard_normal((T, S, FRAME_SIZE)),
+                      jnp.float32)
+    st = _permuted_state(S)
+    w = pack_params(model_params)
+    base = pf.process_chunk_monokernel(st, pcm, w, block=16, interpret=True)
+    monkeypatch.setattr(pf, "_INC_DS", inc_ds)
+    monkeypatch.setattr(pf, "_BATCH_FWD", batch_fwd)
+    alt = pf.process_chunk_monokernel(st, pcm, w, block=16, interpret=True)
+    if batch_fwd == pf._BATCH_FWD_DEFAULT:
+        np.testing.assert_array_equal(np.asarray(base[1]),
+                                      np.asarray(alt[1]))
+        np.testing.assert_array_equal(np.asarray(base[2]),
+                                      np.asarray(alt[2]))
+        jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)), base[0], alt[0])
+    else:
+        np.testing.assert_allclose(np.asarray(base[1]), np.asarray(alt[1]),
+                                   atol=0.5)
+        np.testing.assert_allclose(np.asarray(base[2]), np.asarray(alt[2]),
+                                   atol=2e-3)

@@ -278,7 +278,15 @@ def test_grid_carry_scratch_mechanism():
 def test_frame_body_matches_process_frame(model_params, rng):
     """The whole-frame monokernel body (pure jnp) vs denoise.process_frame,
     chained statefully over 16 frames of speech-like input: pitch periods
-    exact, PCM/vad within the factored-DFT tolerance class."""
+    exact, PCM/vad within the factored-DFT tolerance class.
+
+    Pinned to the own-DFT coarse formulation (alias_coarse(False)): the
+    scan path this compares against computes its own coarse DFTs, so this
+    is the apples-to-apples structural claim.  The shipping alias-coarse
+    default changes the coarse table's rounding class (~1e-5) and is
+    allowed its documented <=2/120 marginal ranking flips — its stateful
+    budget lives in test_monokernel_oracle_parity_150_frames[alias=True]
+    against the C oracle."""
     import jax.numpy as jnp
     from rnnoise_tpu.config import FRAME_SIZE, RuntimeConfig
     from rnnoise_tpu.denoise import init_state, process_frame
@@ -303,7 +311,6 @@ def test_frame_body_matches_process_frame(model_params, rng):
         vads_a.append(np.asarray(v))
         periods.append(np.asarray(sa.last_period))
 
-    consts = pf.frame_consts()
     weights = pack_params(model_params)
     # start from zeros in the monokernel layout (permuted spectra widths)
     sb = pf.FrameState(
@@ -320,13 +327,16 @@ def test_frame_body_matches_process_frame(model_params, rng):
         dExp=jnp.zeros((S, 32)), ds_raw=jnp.zeros((S, 864)))
     max_pcm = max_vad = 0.0
     n_period_mismatch = 0
-    for t in range(T):
-        sb, o, v = pf.frame_body(sb, pcm[:, t], weights, consts, S)
-        max_pcm = max(max_pcm, float(np.abs(np.asarray(o) - outs_a[t]).max()))
-        max_vad = max(max_vad,
-                      float(np.abs(np.asarray(v)[:, 0] - vads_a[t]).max()))
-        n_period_mismatch += int(
-            (np.asarray(sb.last_period)[:, 0] != periods[t]).sum())
+    with pf.alias_coarse(False):
+        consts = pf.frame_consts()
+        for t in range(T):
+            sb, o, v = pf.frame_body(sb, pcm[:, t], weights, consts, S)
+            max_pcm = max(max_pcm,
+                          float(np.abs(np.asarray(o) - outs_a[t]).max()))
+            max_vad = max(max_vad,
+                          float(np.abs(np.asarray(v)[:, 0] - vads_a[t]).max()))
+            n_period_mismatch += int(
+                (np.asarray(sb.last_period)[:, 0] != periods[t]).sum())
     assert n_period_mismatch == 0, n_period_mismatch
     assert max_pcm < 2.0, max_pcm
     assert max_vad < 2e-3, max_vad
