@@ -267,6 +267,12 @@ _INC_DS = True
 _BATCH_FWD = False
 _BATCH_FWD_DEFAULT = _BATCH_FWD   # tests key their bitwise claim off this
 
+# frames_per_step body form: False = python-unrolled (fps copies of
+# frame_body; ~45 min relay compiles at fps=4), True = lax.fori_loop with
+# dynamic pcm/out indexing (one body copy, flat compile time, enables large
+# fps).  Bitwise-equal by construction; measured on-chip before shipping.
+_FPS_LOOP = False
+
 
 def _decimate_full(pitch_buf, sel_sm0, sel_sm1):
     """Full smoothed-even decimation of a 1728-sample pitch buffer ->
@@ -785,10 +791,8 @@ def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1, fps=1):
         return (new, jnp.concatenate([p[1] for p in parts], axis=0),
                 jnp.concatenate([p[2] for p in parts], axis=0))
 
-    # fps frames advance per grid step: state stays in registers between
-    # them, so scratch r/w and pipeline sync amortise over fps frames
-    for f in range(fps):
-        st, out, vad = one_frame(st, pcm_ref[f])
+    def advance(st, pcm, f):
+        st, out, vad = one_frame(st, pcm)
         if out_ref.dtype == jnp.int16:
             # round half away from zero + clip: bit-identical to the native
             # ring's float path (streamio.cc Ring::push_f32) and to
@@ -797,6 +801,24 @@ def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1, fps=1):
             out = jnp.clip(rounded, -32768.0, 32767.0).astype(jnp.int16)
         out_ref[f] = out
         vad_ref[f] = vad
+        return st
+
+    # fps frames advance per grid step: state stays in registers between
+    # them, so scratch r/w and pipeline sync amortise over fps frames
+    if _FPS_LOOP and fps > 1:
+        # fori_loop keeps ONE copy of the body regardless of fps (the
+        # unrolled form compiles in ~45 min at fps=4 through the relay and
+        # scales worse), at the cost of dynamic pcm/out indexing and a
+        # loop-carried 17-array state.  Bitwise-equal to the unrolled form
+        # (tests/test_monokernel.py::test_monokernel_fps_loop_bitwise).
+        def body(f, carry):
+            st = advance(FrameState(*carry), pcm_ref[f], f)
+            return tuple(st)
+
+        st = FrameState(*jax.lax.fori_loop(0, fps, body, tuple(st)))
+    else:
+        for f in range(fps):
+            st = advance(st, pcm_ref[f], f)
     for s, v in zip(scratch, st):
         s[:] = v
 

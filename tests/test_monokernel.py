@@ -251,3 +251,25 @@ def test_monokernel_formulation_flags(model_params, rng, monkeypatch,
                                    atol=0.5)
         np.testing.assert_allclose(np.asarray(base[2]), np.asarray(alt[2]),
                                    atol=2e-3)
+
+
+def test_monokernel_fps_loop_bitwise(model_params, rng, monkeypatch):
+    """The fori_loop frames_per_step body (pallas_frame._FPS_LOOP) is
+    bitwise identical to the python-unrolled form: same per-frame math, only
+    the pcm/out indexing becomes dynamic and the 17-array state rides the
+    loop carry."""
+    import jax
+    S, T = 16, 4
+    pcm = jnp.asarray(2000 * rng.standard_normal((T, S, FRAME_SIZE)),
+                      jnp.float32)
+    st = _permuted_state(S)
+    w = pack_params(model_params)
+    a = pf.process_chunk_monokernel(st, pcm, w, block=16, interpret=True,
+                                    frames_per_step=2)
+    monkeypatch.setattr(pf, "_FPS_LOOP", True)
+    b = pf.process_chunk_monokernel(st, pcm, w, block=16, interpret=True,
+                                    frames_per_step=2)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), a[0], b[0])
