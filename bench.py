@@ -28,7 +28,8 @@ def main():
     import jax.numpy as jnp
 
     from rnnoise_tpu.config import FRAME_SIZE, RuntimeConfig
-    from rnnoise_tpu.denoise import init_state, process_frames_tm
+    from rnnoise_tpu.denoise import (init_state, process_frames_tm,
+                                     process_frames_tm_i16)
     from __graft_entry__ import _demo_params
 
     dev = jax.devices()[0]
@@ -56,16 +57,25 @@ def main():
     if dev.platform == "tpu":
         # the scan's optimum is pinned by scoped-VMEM residency at S=3072;
         # the monokernel has no such knee — probe it where the scan can't
-        # follow (S=6144 = 16 blocks of 384)
+        # follow.  The i16 rows run the exact serving boundary (int16 pcm
+        # in/out, in-kernel conversion — what the native engine ships to the
+        # chip): audio is int16-valued either way, and the i16 windows halve
+        # the kernel's pcm VMEM/HBM traffic.
         configs += [(S, "monokernel") for S in (3072, 4096, 6144)]
+        configs += [(S, "monokernel-i16") for S in (3072, 4096)]
     for S, path in configs:
         try:
-            _dn.set_monokernel("on" if path == "monokernel" else "off")
+            _dn.set_monokernel("off" if path == "scan" else "on")
             state = init_state(S)
-            pcm = jnp.asarray(
-                3000 * rng.standard_normal((T, S, FRAME_SIZE)), jnp.float32)
-
-            fn = jax.jit(lambda st, x: process_frames_tm(params, st, x, rt))
+            noise = 3000 * rng.standard_normal((T, S, FRAME_SIZE))
+            if path == "monokernel-i16":
+                pcm = jnp.asarray(noise, jnp.float32).astype(jnp.int16)
+                fn = jax.jit(
+                    lambda st, x: process_frames_tm_i16(params, st, x, rt))
+            else:
+                pcm = jnp.asarray(noise, jnp.float32)
+                fn = jax.jit(
+                    lambda st, x: process_frames_tm(params, st, x, rt))
             t0 = time.perf_counter()
             state2, out, vad = fn(state, pcm)
             jax.block_until_ready(out)
