@@ -31,7 +31,12 @@ def _setup_compilation_cache():
         cache = _os.path.join(_os.path.dirname(_os.path.dirname(
             _os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # Mirror the dir guard: only lower the persistence threshold when the
+    # user hasn't configured one (env var or prior config.update) — don't
+    # clobber JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS.
+    if ("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in _os.environ
+            and jax.config.jax_persistent_cache_min_compile_time_secs == 1.0):
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 _setup_compilation_cache()

@@ -73,6 +73,12 @@ def _spec_width() -> int:
 # v5e at S=3072/T=400 the shipping config (alias-coarse + incremental ds +
 # block=256/fps=4) measures 1.341 ms/frame vs the scan's 1.389
 # (scripts/bench_mono.py grid, 2026-08-19).
+# COLD-COMPILE COST: the first jit of an fps>1 monokernel config is slow
+# through a remote-compile toolchain (minutes; ~45 min for the unrolled
+# fps=4 body through the axon relay).  The repo-local persistent
+# compilation cache (rnnoise_tpu/__init__.py) amortises this across
+# processes — run scripts/prewarm.py once per checkout, or flip
+# set_monokernel("off") for latency-sensitive cold starts.
 _MONOKERNEL = "on"
 # Block preference order: 256 first — it admits frames_per_step=4 within
 # the 120 MB scoped-VMEM budget (384 OOMs at fps>=2 by <1 MB: 120.88M).
@@ -97,12 +103,17 @@ def _mono_block(S: int) -> Optional[int]:
 
 
 def _mono_cfg(T: int, S: int) -> tuple:
-    """(block, frames_per_step) for the monokernel dispatch: fps applies
-    only when it divides T and the block fits the fps>1 VMEM budget."""
+    """(block, frames_per_step) for the monokernel dispatch: fps falls back
+    through divisors (_MONO_FPS -> ... -> 1) so a T that merely fails the
+    top divisor (e.g. T=402) still runs the best measured-good fps that
+    fits, gated by the fps>1 VMEM budget (block <= _MONO_FPS_MAX_BLOCK)."""
     block = _mono_block(S)
-    fps = _MONO_FPS if (T % _MONO_FPS == 0
-                        and block is not None
-                        and block <= _MONO_FPS_MAX_BLOCK) else 1
+    fps = 1
+    if block is not None and block <= _MONO_FPS_MAX_BLOCK:
+        f = _MONO_FPS
+        while f > 1 and T % f:
+            f //= 2
+        fps = max(f, 1)
     return block, fps
 
 

@@ -270,7 +270,10 @@ _BATCH_FWD_DEFAULT = _BATCH_FWD   # tests key their bitwise claim off this
 # frames_per_step body form: False = python-unrolled (fps copies of
 # frame_body; ~45 min relay compiles at fps=4), True = lax.fori_loop with
 # dynamic pcm/out indexing (one body copy, flat compile time, enables large
-# fps).  Bitwise-equal by construction; measured on-chip before shipping.
+# fps).  Bitwise-equal by construction (interpret-validated,
+# tests/test_monokernel.py::test_monokernel_fps_loop_bitwise); on-chip
+# lowering + timing are being measured this round — see CLAUDE.md perf
+# notes for the current verdict before flipping the default.
 _FPS_LOOP = False
 
 
@@ -281,8 +284,11 @@ def _decimate_full(pitch_buf, sel_sm0, sel_sm1):
     (exact power-of-two taps — see FrameConsts).  Used once per chunk to
     initialise the carried FrameState.ds_raw (state_from_denoise); the
     per-frame update is incremental (240 new samples, frame_body).  Lane 0
-    is NOT boundary-blended here — frame_body re-applies the blend each
-    frame, and chunk-init lane 0 shifts out before first use."""
+    IS boundary-blended here: sel_sm0's column 0 is exactly the reference
+    left-edge blend 0.5*x[0] + 0.25*x[1] (the _INC_DS=False branch of
+    frame_body relies on that).  Under _INC_DS the chunk-init lane 0
+    shifts out before first use and frame_body re-applies the blend to the
+    current window edge each frame."""
     e0 = _sel_dot(pitch_buf[:, :pitch_mod._DS_LEN], sel_sm0)
     e1 = _sel_dot(pitch_buf[:, pitch_mod._DS_LEN - 1:], sel_sm1)
     return jnp.concatenate([e0, e1], axis=-1)
