@@ -160,7 +160,9 @@ def main() -> None:
         configs = [(3072, "monokernel"), (3072, "monokernel-i16"),
                    (3072, "scan"), (6144, "monokernel")]
     else:
-        configs = [(1024, "scan")]
+        configs = [(256, "scan")]   # CPU smoke row — the bench of record
+        #                             runs on TPU; this keeps `python
+        #                             bench.py` meaningful anywhere
 
     best = {"streams": 0.0, "path": "none", "configs_run": 0}
     child = [None]

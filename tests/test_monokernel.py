@@ -273,3 +273,18 @@ def test_monokernel_fps_loop_bitwise(model_params, rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
     jax.tree.map(lambda x, y: np.testing.assert_array_equal(
         np.asarray(x), np.asarray(y)), a[0], b[0])
+
+
+def test_mono_cfg_fps_divisor_fallback():
+    """_mono_cfg falls back through fps divisors instead of straight to 1:
+    a T that misses the top divisor (T=402 % 4 != 0) still gets fps=2
+    (measured 1.357 vs 1.404 ms/frame at fps=1 on v5e), and blocks above
+    the fps>1 VMEM gate run per-frame."""
+    from rnnoise_tpu import denoise as dn
+    assert dn._mono_cfg(400, 3072) == (256, dn._MONO_FPS)
+    assert dn._mono_cfg(402, 3072) == (256, 2)
+    assert dn._mono_cfg(401, 3072) == (256, 1)
+    # S=2688 is divisible by 384 but not 256/128: block=384 exceeds the
+    # fps>1 gate, so it runs per-frame regardless of T
+    assert dn._mono_cfg(400, 2688) == (384, 1)
+    assert dn._mono_cfg(400, 1000) == (None, 1)
