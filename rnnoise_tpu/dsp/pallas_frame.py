@@ -570,7 +570,12 @@ def frame_body(st: FrameState, pcm: jax.Array, weights, consts: FrameConsts,
 
     # ---- pitch chain ------------------------------------------------------
     if "pitch" in _ABLATE:
-        T0 = jnp.full((block,), 300, jnp.int32)
+        # data-dependent stand-in (always 300): a constant-splat T0 folds
+        # through _take_window_vmem's one-hot cascade into an
+        # extract_strided_slice that crashes Mosaic's vector-layout pass
+        # ("limits[i] <= dim(i) (32 vs. 1)", observed 2026-08-19) — keep the
+        # ablated body on the same lowering path as production
+        T0 = 300 + (ds[:, 0] > 1e30).astype(jnp.int32)
         gain = jnp.mean(ds, axis=-1) * 1e-6
     elif c.alias:
         T0, gain = _pitch_chain_alias(ds, st.last_period[:, 0],
