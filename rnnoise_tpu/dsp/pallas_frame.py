@@ -271,10 +271,16 @@ _BATCH_FWD_DEFAULT = _BATCH_FWD   # tests key their bitwise claim off this
 # frame_body; ~45 min relay compiles at fps=4), True = lax.fori_loop with
 # dynamic pcm/out indexing (one body copy, flat compile time, enables large
 # fps).  Bitwise-equal by construction (interpret-validated,
-# tests/test_monokernel.py::test_monokernel_fps_loop_bitwise); on-chip
-# lowering + timing are being measured this round — see CLAUDE.md perf
-# notes for the current verdict before flipping the default.
+# tests/test_monokernel.py::test_monokernel_fps_loop_bitwise).  MEASURED
+# on-chip (r5, S=3072/T=400/b256): loop fps=4 1.394 ms/frame vs unrolled
+# 1.341 (Mosaic pipelines the unrolled copies better), but the loop form
+# keeps improving with fps at FLAT compile time: fps=8 1.368 (135 s
+# compile).  _FPS_UNROLL hybridises: the fori_loop body advances that many
+# unrolled frames per iteration (compile cost of the unrolled body, scratch
+# sync amortised over the whole fps span) — fps=16/unroll=4 = 4 iterations
+# of the 4-frame body.
 _FPS_LOOP = False
+_FPS_UNROLL = 4
 
 
 def _decimate_full(pitch_buf, sel_sm0, sel_sm1):
@@ -817,16 +823,23 @@ def _frame_kernel(*refs, treedef, n_w, n_c, n_t, block, split=1, fps=1):
     # fps frames advance per grid step: state stays in registers between
     # them, so scratch r/w and pipeline sync amortise over fps frames
     if _FPS_LOOP and fps > 1:
-        # fori_loop keeps ONE copy of the body regardless of fps (the
-        # unrolled form compiles in ~45 min at fps=4 through the relay and
-        # scales worse), at the cost of dynamic pcm/out indexing and a
+        # fori_loop keeps ONE copy of the loop body regardless of fps (the
+        # fully unrolled form compiles in ~45 min at fps=4 through the relay
+        # and scales worse), at the cost of dynamic pcm/out indexing and a
         # loop-carried 17-array state.  Bitwise-equal to the unrolled form
         # (tests/test_monokernel.py::test_monokernel_fps_loop_bitwise).
+        # _FPS_UNROLL > 1 unrolls that many frames INSIDE the loop body
+        # (hybrid: the unrolled body's better Mosaic pipelining, the loop's
+        # flat compile time and large-fps sync amortisation).
+        u = _FPS_UNROLL if (fps % _FPS_UNROLL == 0) else 1
+
         def body(f, carry):
-            st = advance(FrameState(*carry), pcm_ref[f], f)
+            st = FrameState(*carry)
+            for i in range(u):
+                st = advance(st, pcm_ref[f * u + i], f * u + i)
             return tuple(st)
 
-        st = FrameState(*jax.lax.fori_loop(0, fps, body, tuple(st)))
+        st = FrameState(*jax.lax.fori_loop(0, fps // u, body, tuple(st)))
     else:
         for f in range(fps):
             st = advance(st, pcm_ref[f], f)

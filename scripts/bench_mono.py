@@ -4,9 +4,9 @@ block size) — the round-4 measurement harness for the levers round 3 built
 but never timed (VERDICT items 1-3).
 
 Usage: python scripts/bench_mono.py [S] [T] [variant ...]
-  variant syntax: name=alias,fps,block[,inc_ds,batch_fwd,fps_loop]
-  (inc_ds / batch_fwd / fps_loop default to the module flags — the
-  measured shipping formulation)
+  variant syntax: name=alias,fps,block[,inc_ds,batch_fwd,fps_loop,unroll]
+  (inc_ds / batch_fwd / fps_loop / unroll default to the module flags —
+  the measured shipping formulation)
   default grid: ship=1,4,256 afps8=1,8,256 afps2=1,2,256 afps4b128=1,4,128
 
 Protocol per CLAUDE.md hazards: T=400 (relay dispatch overhead), chained
@@ -53,11 +53,13 @@ def main():
         inc_ds = bool(fields[3]) if len(fields) > 3 else pf._INC_DS
         batch_fwd = bool(fields[4]) if len(fields) > 4 else pf._BATCH_FWD
         fps_loop = bool(fields[5]) if len(fields) > 5 else pf._FPS_LOOP
+        unroll = fields[6] if len(fields) > 6 else pf._FPS_UNROLL
         if S % block or T % fps:
             print(f"{name}: skipped (S%block={S % block} T%fps={T % fps})")
             continue
-        prev_flags = (pf._INC_DS, pf._BATCH_FWD, pf._FPS_LOOP)
-        pf._INC_DS, pf._BATCH_FWD, pf._FPS_LOOP = inc_ds, batch_fwd, fps_loop
+        prev_flags = (pf._INC_DS, pf._BATCH_FWD, pf._FPS_LOOP, pf._FPS_UNROLL)
+        pf._INC_DS, pf._BATCH_FWD, pf._FPS_LOOP, pf._FPS_UNROLL = (
+            inc_ds, batch_fwd, fps_loop, unroll)
         try:
             with pf.alias_coarse(bool(alias)):
                 state = denoise.init_state(S)
@@ -95,7 +97,8 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the grid going
             print(f"{name}: FAILED: {type(e).__name__}: {e}", flush=True)
         finally:
-            pf._INC_DS, pf._BATCH_FWD, pf._FPS_LOOP = prev_flags
+            (pf._INC_DS, pf._BATCH_FWD, pf._FPS_LOOP,
+             pf._FPS_UNROLL) = prev_flags
 
     if results:
         best = min(results, key=lambda r: r[1])

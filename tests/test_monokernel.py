@@ -253,11 +253,14 @@ def test_monokernel_formulation_flags(model_params, rng, monkeypatch,
                                    atol=2e-3)
 
 
-def test_monokernel_fps_loop_bitwise(model_params, rng, monkeypatch):
+@pytest.mark.parametrize("unroll", [1, 2, 4])
+def test_monokernel_fps_loop_bitwise(model_params, rng, monkeypatch, unroll):
     """The fori_loop frames_per_step body (pallas_frame._FPS_LOOP) is
     bitwise identical to the python-unrolled form: same per-frame math, only
     the pcm/out indexing becomes dynamic and the 17-array state rides the
-    loop carry."""
+    loop carry.  Parametrized over _FPS_UNROLL (frames unrolled INSIDE the
+    loop body): unroll=4 with fps=4 degenerates to one iteration of the
+    fully unrolled body; unroll=2 is the hybrid (2 iterations x 2 frames)."""
     import jax
     S, T = 16, 4
     pcm = jnp.asarray(2000 * rng.standard_normal((T, S, FRAME_SIZE)),
@@ -265,10 +268,11 @@ def test_monokernel_fps_loop_bitwise(model_params, rng, monkeypatch):
     st = _permuted_state(S)
     w = pack_params(model_params)
     a = pf.process_chunk_monokernel(st, pcm, w, block=16, interpret=True,
-                                    frames_per_step=2)
+                                    frames_per_step=4)
     monkeypatch.setattr(pf, "_FPS_LOOP", True)
+    monkeypatch.setattr(pf, "_FPS_UNROLL", unroll)
     b = pf.process_chunk_monokernel(st, pcm, w, block=16, interpret=True,
-                                    frames_per_step=2)
+                                    frames_per_step=4)
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
     jax.tree.map(lambda x, y: np.testing.assert_array_equal(
