@@ -5,7 +5,9 @@ stand-ins so the compiler drops its compute; full-minus-ablated deltas
 attribute the frame cost per stage.  Writes one JSON line so BENCH rounds
 can archive span movement (judge item r3/7).
 
-Usage: python scripts/mono_parts.py [S] [T] [block] [fps] [alias]
+Usage: python scripts/mono_parts.py [S] [T] [block] [fps] [alias] [--out F]
+  --out F: also write the JSON line to F (the committed BENCH-adjacent
+  attribution artifact, e.g. BENCH_attribution_r05.json — judge item r3/7).
 """
 
 import json
@@ -30,11 +32,17 @@ def main():
     from rnnoise_tpu.dsp import pallas_frame as pf
     from __graft_entry__ import _demo_params
 
-    S = int(sys.argv[1]) if len(sys.argv) > 1 else 3072
-    T = int(sys.argv[2]) if len(sys.argv) > 2 else 400
-    block = int(sys.argv[3]) if len(sys.argv) > 3 else 384
-    fps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-    alias = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+    args = list(sys.argv[1:])
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    S = int(args[0]) if len(args) > 0 else 3072
+    T = int(args[1]) if len(args) > 1 else 400
+    block = int(args[2]) if len(args) > 2 else 384
+    fps = int(args[3]) if len(args) > 3 else 1
+    alias = bool(int(args[4])) if len(args) > 4 else False
 
     params = _demo_params()
     weights = denoise._packed_weights(params)
@@ -83,9 +91,13 @@ def main():
     finally:
         pf._ABLATE = frozenset()
 
-    print(json.dumps({"S": S, "T": T, "block": block, "fps": fps,
-                      "alias": alias, "full_ms_frame": round(full, 4),
-                      "parts": parts}))
+    line = json.dumps({"S": S, "T": T, "block": block, "fps": fps,
+                       "alias": alias, "full_ms_frame": round(full, 4),
+                       "parts": parts})
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
