@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ["biquad", "ds", "coarse", "pitch", "take_window", "fwd",
           "features", "nn", "post"]
+# sub-stage gates (--sub): ds_lpc/ds_fir live in pallas_frame._whiten_body;
+# finetable/ladder live in pallas_analysis._pitch_body
+SUB_STAGES = ["ds_lpc", "ds_fir", "finetable", "ladder"]
+_PA_STAGES = {"finetable", "ladder"}
 ALL = frozenset(STAGES)
 
 
@@ -38,6 +42,9 @@ def main():
         i = args.index("--out")
         out_path = args[i + 1]
         del args[i:i + 2]
+    sub = "--sub" in args
+    if sub:
+        args.remove("--sub")
     S = int(args[0]) if len(args) > 0 else 3072
     T = int(args[1]) if len(args) > 1 else 400
     block = int(args[2]) if len(args) > 2 else 384
@@ -50,8 +57,11 @@ def main():
     pcm = jnp.asarray(3000 * rng.standard_normal((T, S, FRAME_SIZE)),
                       jnp.float32)
 
+    from rnnoise_tpu.dsp import pallas_analysis as pa
+
     def measure(ablate):
-        pf._ABLATE = ablate
+        pf._ABLATE = ablate - _PA_STAGES
+        pa._ABLATE = ablate & _PA_STAGES
         state = denoise.init_state(S)
 
         def run(st, x):
@@ -80,6 +90,8 @@ def main():
                   flush=True)
             parts = {}
             stages = [s for s in STAGES if not (alias and s == "coarse")]
+            if sub:
+                stages = stages + SUB_STAGES
             for stage in stages:
                 m = measure(frozenset({stage}))
                 parts[stage] = round(full - m, 4)
@@ -90,6 +102,7 @@ def main():
             print(f"  empty body   {empty:.3f} (plumbing floor)", flush=True)
     finally:
         pf._ABLATE = frozenset()
+        pa._ABLATE = frozenset()
 
     line = json.dumps({"S": S, "T": T, "block": block, "fps": fps,
                        "alias": alias, "full_ms_frame": round(full, 4),
