@@ -21,6 +21,7 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOCK = os.path.join(HERE, ".jax_cache", ".prewarm.pid")
 
 # Keep in sync with bench.py's TPU config list.
 CONFIGS = [(3072, "monokernel"), (3072, "monokernel-i16"),
@@ -39,12 +40,31 @@ def warm(S, path):
 
 
 def main():
+    # A nohup'd prewarm survives the session that launched it; a second
+    # instance would recompile the same keys and contend on the relay for
+    # an hour.  Refuse to start while a previous instance is still alive.
+    if os.path.exists(LOCK):
+        try:
+            pid = int(open(LOCK).read().strip())
+            os.kill(pid, 0)   # raises if dead
+            print(f"prewarm already running (pid {pid}, {LOCK}) — exiting",
+                  file=sys.stderr)
+            sys.exit(1)
+        except (ValueError, ProcessLookupError, PermissionError):
+            pass   # stale lock
+    os.makedirs(os.path.dirname(LOCK), exist_ok=True)
+    with open(LOCK, "w") as f:
+        f.write(str(os.getpid()))
     for S, path in CONFIGS:
         warm(S, path)
     if "--check" in sys.argv:
         print("cache check: re-running shipping config in a fresh process",
               flush=True)
         warm(*CONFIGS[0])
+    try:
+        os.remove(LOCK)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
