@@ -10,9 +10,11 @@ the HLO hash, so the prewarm MUST trace the exact jit closure the bench
 traces.  The populated .jax_cache/ is committed to git (it is part of the
 shipping artifact — the round transition wipes everything untracked).
 
-Usage: python scripts/prewarm.py [--check]
+Usage: python scripts/prewarm.py [--check] [--force]
   --check: after warming, re-run the shipping config in a fresh process and
   report its first-call time (should be seconds, not minutes).
+  --force: proceed even when the device platform is not "tpu" (prewarming a
+  CPU backend is never what you want; the flag exists for debugging).
 """
 
 import os
@@ -27,6 +29,27 @@ LOCK = os.path.join(HERE, ".jax_cache", ".prewarm.pid")
 CONFIGS = [(3072, "monokernel"), (3072, "monokernel-i16"),
            (3072, "scan"), (6144, "monokernel")]
 T = 400
+
+
+def probe_platform():
+    """Device platform via a THROWAWAY subprocess with a hard timeout, or
+    None when the probe hangs/fails.  The compile relay can die out from
+    under the VM (measured 2026-08-19: execute + remote_compile endpoints
+    gone, after which jax.devices() hangs forever) — a prewarm launched then
+    would sit silently in its first bench child while holding the pidfile
+    lock, so refuse to start instead."""
+    timeout = float(os.environ.get("RNNT_PREWARM_PROBE_TIMEOUT", "240"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout, cwd=HERE)
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    lines = (r.stdout or "").strip().splitlines()
+    return lines[-1] if lines else None
 
 
 def warm(S, path):
@@ -52,6 +75,17 @@ def main():
             sys.exit(1)
         except (ValueError, ProcessLookupError, PermissionError):
             pass   # stale lock
+    plat = probe_platform()
+    if plat is None:
+        print("prewarm: device probe hung/failed — compile relay unreachable;"
+              " not starting (nothing would compile, the lock would wedge)",
+              file=sys.stderr)
+        sys.exit(2)
+    if plat != "tpu" and "--force" not in sys.argv:
+        print(f"prewarm: device platform is {plat!r}, not 'tpu' — the cache "
+              "entries would be useless for the bench of record "
+              "(--force to override)", file=sys.stderr)
+        sys.exit(2)
     os.makedirs(os.path.dirname(LOCK), exist_ok=True)
     with open(LOCK, "w") as f:
         f.write(str(os.getpid()))

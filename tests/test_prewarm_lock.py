@@ -17,6 +17,22 @@ PREWARM = os.path.join(REPO, "scripts", "prewarm.py")
 LOCK = os.path.join(REPO, ".jax_cache", ".prewarm.pid")
 
 
+def test_non_tpu_platform_refuses():
+    """With the axon plugin disabled the probe resolves to 'cpu' quickly, and
+    prewarm must refuse: CPU cache entries are useless for the bench of
+    record (and on a dead relay the probe path is what prevents a silent
+    hang while holding the lock)."""
+    assert not os.path.exists(LOCK), "a real prewarm appears to be running"
+    env = os.environ.copy()
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # sitecustomize activation var
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, PREWARM], capture_output=True,
+                       text=True, timeout=300, cwd=REPO, env=env)
+    assert r.returncode == 2, (r.returncode, r.stderr)
+    assert "not 'tpu'" in r.stderr
+    assert not os.path.exists(LOCK)
+
+
 def test_live_lock_refuses(tmp_path):
     assert not os.path.exists(LOCK), "a real prewarm appears to be running"
     os.makedirs(os.path.dirname(LOCK), exist_ok=True)
