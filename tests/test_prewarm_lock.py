@@ -33,6 +33,26 @@ def test_non_tpu_platform_refuses():
     assert not os.path.exists(LOCK)
 
 
+def test_jax_cache_is_git_tracked():
+    """BENCH_r04 died rc=124 because .jax_cache was gitignored: the round
+    transition wiped it and the driver's bench cold-compiled every row
+    (~45 min per monokernel config through the relay).  Guard the invariant
+    the prewarm machinery depends on: the cache dir must not be ignored, and
+    the large (monokernel-executable-sized) entries must be git-tracked so
+    they survive into the driver's checkout."""
+    r = subprocess.run(["git", "check-ignore", ".jax_cache"], cwd=REPO,
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode != 0, ".jax_cache is gitignored — the warm bench " \
+        "cache would be wiped at round transition (the BENCH_r04 failure)"
+    r = subprocess.run(["git", "ls-files", ".jax_cache"], cwd=REPO,
+                       capture_output=True, text=True, timeout=60)
+    tracked = [ln for ln in r.stdout.splitlines() if ln]
+    assert len(tracked) >= 50, f"only {len(tracked)} cache entries tracked"
+    big = [f for f in tracked
+           if os.path.getsize(os.path.join(REPO, f)) > 10_000_000]
+    assert big, "no large compiled-executable cache entries are tracked"
+
+
 def test_live_lock_refuses(tmp_path):
     assert not os.path.exists(LOCK), "a real prewarm appears to be running"
     os.makedirs(os.path.dirname(LOCK), exist_ok=True)
