@@ -221,10 +221,17 @@ class FanoutPool:
         np.copyto(view, pcm, casting="same_kind")
         return sum(self._all("push", n))
 
-    def pull_all(self, n: int) -> tuple[np.ndarray, int]:
+    def pull_all(self, n: int,
+                 out: Optional[np.ndarray] = None) -> tuple[np.ndarray, int]:
+        """Pass a preallocated [S, n] int16 `out` to reuse it across ticks
+        (a fresh copy re-faults its pages every call)."""
         assert n <= self.io_cap
         full = sum(self._all("pull", n))
-        out = self._io[:self.n_slots * n].reshape(self.n_slots, n).copy()
+        view = self._io[:self.n_slots * n].reshape(self.n_slots, n)
+        if out is None:
+            out = view.copy()
+        else:
+            np.copyto(out, view)
         return out, full
 
     def assemble_tm_i16(self, t_frames: int):

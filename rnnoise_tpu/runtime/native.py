@@ -129,10 +129,14 @@ class StreamPool:
         assert pcm.shape[0] == self.n_slots
         return self._lib.rnnt_pool_push_all(self._p, pcm, pcm.shape[1])
 
-    def pull_all(self, n: int) -> tuple[np.ndarray, int]:
+    def pull_all(self, n: int,
+                 out: np.ndarray | None = None) -> tuple[np.ndarray, int]:
         """Bulk drain up to n samples per slot -> ([S, n] int16 zero-filled,
-        slots that produced a full n)."""
-        out = np.empty((self.n_slots, n), np.int16)
+        slots that produced a full n).  Pass a preallocated [S, n] int16
+        `out` to reuse it across ticks — fresh allocations re-fault their
+        pages every call (~2x the copy cost on this path)."""
+        if out is None:
+            out = np.empty((self.n_slots, n), np.int16)
         full = self._lib.rnnt_pool_pull_all(self._p, out, n)
         return out, full
 
@@ -167,13 +171,21 @@ class StreamPool:
             self._p, t_frames, np.ascontiguousarray(batch, np.float32),
             np.ascontiguousarray(counts, np.int32))
 
-    def assemble_tm_i16(self, t_frames: int):
+    def assemble_tm_i16(self, t_frames: int, out: tuple | None = None):
         """Raw-int16 time-major assembly (no host conversion): [T, S, 480]
-        int16 + counts + reset mask."""
+        int16 + counts + reset mask.  Pass `out=(batch, counts, reset)`
+        preallocated ([T,S,480] i16 / [S] i32 / [S] u8, all C-contiguous) to
+        reuse the buffers across ticks: a fresh batch allocation re-faults
+        ~T*S KB of pages every call, measured ~1.8x on the whole host tick
+        at S=4096."""
         S = self.n_slots
-        batch = np.empty((t_frames, S, 480), np.int16)
-        counts = np.empty(S, np.int32)
-        reset = np.empty(S, np.uint8)
+        if out is None:
+            batch = np.empty((t_frames, S, 480), np.int16)
+            counts = np.empty(S, np.int32)
+            reset = np.empty(S, np.uint8)
+        else:
+            batch, counts, reset = out
+            assert batch.shape == (t_frames, S, 480)
         self._lib.rnnt_pool_assemble_tm_i16(self._p, t_frames, batch,
                                             counts, reset)
         return batch, counts, reset

@@ -17,12 +17,15 @@ then a production deployment is device-bound and StreamingEngine.tick()
 (pipelined=True) hides the host work behind device time.
 
 Measured r2 on THIS dev VM (1 vCPU!): host tick 37 ms at S=4096/T=8
-(~8.9k realtime streams single-core: push_all 0.6 + assemble 15.6 +
-commit+pull 11.8 + feed copies), all memory-bound conversions that the
-streamio thread pool spreads across cores when they exist — a production
-TPU host (~100 vCPUs) runs this tick in ~1-2 ms, far above the device's
-~18k streams.  The 1-core number IS the single-core floor, not the design
-limit.
+(~8.9k realtime streams single-core), with host-side f32 conversion.
+r3 moved conversion on-device (raw int16 boundary): 34.5 ms.  r5 rebuilt
+the native layer around a contiguous ring slab, whole-burst frame moves,
+and reused batch buffers (the out= protocol): ~24 ms -> ~13-15k realtime
+streams single-core (run-to-run spread on the shared VM is +-15%).  All
+remaining cost is memory-bound memcpy that the streamio thread pool
+spreads across cores when they exist — a production TPU host (~100 vCPUs)
+runs this tick in ~1-2 ms, far above the device's ~23k streams.  The
+1-core number IS the single-core floor, not the design limit.
 
 Run: python scripts/bench_engine.py [S ...]
 """
@@ -55,18 +58,22 @@ def main():
         audio_s = T * 480 / 48000.0
 
         # --- host path only: rings + assemble + commit (the engine's raw
-        # int16 time-major path: pure frame memcpys, no conversion) --------
+        # int16 time-major path: pure frame memcpys, no conversion; buffers
+        # reused across ticks like StreamingEngine.tick does) --------------
         n = 20
+        bufs = (np.empty((T, S, 480), np.int16), np.empty(S, np.int32),
+                np.empty(S, np.uint8))
+        outbuf = np.empty((S, T * 480), np.int16)
         eng.pool.push_all(pcm)
-        batch, counts, reset = eng.pool.assemble_tm_i16(T)   # warm
+        batch, counts, reset = eng.pool.assemble_tm_i16(T, out=bufs)  # warm
         eng.pool.commit_tm_i16(T, batch, counts)
-        eng.pool.pull_all(T * 480)
+        eng.pool.pull_all(T * 480, out=outbuf)
         t0 = time.perf_counter()
         for _ in range(n):
             eng.pool.push_all(pcm)
-            batch, counts, reset = eng.pool.assemble_tm_i16(T)
+            batch, counts, reset = eng.pool.assemble_tm_i16(T, out=bufs)
             eng.pool.commit_tm_i16(T, batch, counts)
-            eng.pool.pull_all(T * 480)
+            eng.pool.pull_all(T * 480, out=outbuf)
         host_dt = (time.perf_counter() - t0) / n
         print(f"S={S} host:   {host_dt*1e3:7.1f} ms/tick -> "
               f"{S*audio_s/host_dt:9.0f} realtime streams", flush=True)

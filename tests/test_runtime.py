@@ -25,6 +25,63 @@ def test_pool_ring_roundtrip():
     assert reset[0] == 0 and counts[0] == 0
 
 
+def test_tm_i16_burst_paths_match_fifo_model():
+    """The TM-i16 assemble/commit paths move whole frame bursts with one
+    bookkeeping update per slot (streamio.cc pop/push_frames_strided).  Drive
+    the wrap and truncation corners — sample-level pushes misalign the ring
+    head so bursts split mid-frame, and commits into a full output ring must
+    truncate exactly like per-frame pushes (a final partial frame) — against
+    a pure-Python FIFO model, with the out= buffer-reuse protocol."""
+    from rnnoise_tpu.runtime.native import StreamPool
+    S, T, ring_frames = 3, 4, 7          # ring cap 3360: wraps mid-burst
+    F = FRAME_SIZE
+    cap = ring_frames * F
+    pool = StreamPool(S, ring_frames=ring_frames)
+    for _ in range(S):
+        pool.attach()
+    rng = np.random.default_rng(42)
+    in_fifo = [np.zeros(0, np.int16) for _ in range(S)]
+    out_fifo = [np.zeros(0, np.int16) for _ in range(S)]
+    batch = np.empty((T, S, F), np.int16)
+    counts = np.empty(S, np.int32)
+    reset = np.empty(S, np.uint8)
+    for it in range(40):
+        for s in range(S):
+            # odd-size pushes leave the ring head mid-frame-aligned
+            n = int(rng.integers(0, 2 * F))
+            pcm = rng.integers(-30000, 30000, n).astype(np.int16)
+            space = cap - len(in_fifo[s])
+            accepted = pool.push(s, pcm)
+            assert accepted == min(n, space)
+            in_fifo[s] = np.concatenate([in_fifo[s], pcm[:accepted]])
+        b, c, r = pool.assemble_tm_i16(T, out=(batch, counts, reset))
+        assert b is batch and c is counts
+        for s in range(S):
+            want = T if len(in_fifo[s]) // F >= T else 0
+            assert counts[s] == want
+            if want:
+                np.testing.assert_array_equal(
+                    batch[:, s].reshape(-1), in_fifo[s][:T * F])
+                in_fifo[s] = in_fifo[s][T * F:]
+        # commit WITHOUT always pulling: the out ring fills and the burst
+        # must truncate at byte granularity (per-frame push semantics)
+        pool.commit_tm_i16(T, batch, counts)
+        for s in range(S):
+            if counts[s]:
+                space = cap - len(out_fifo[s])
+                put = min(T * F, space)
+                out_fifo[s] = np.concatenate(
+                    [out_fifo[s], batch[:, s].reshape(-1)[:put]])
+        if it % 3 == 0:
+            n_pull = int(rng.integers(1, cap))
+            for s in range(S):
+                got = pool.pull(s, n_pull)
+                take = min(n_pull, len(out_fifo[s]))
+                assert len(got) == take
+                np.testing.assert_array_equal(got, out_fifo[s][:take])
+                out_fifo[s] = out_fifo[s][take:]
+
+
 def test_pool_attach_detach():
     from rnnoise_tpu.runtime.native import StreamPool
     pool = StreamPool(2)
